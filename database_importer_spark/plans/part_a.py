@@ -1,0 +1,394 @@
+"""Part A declared queries — the reference's own operator surface
+(SURVEY.md §2 Part A), each with a DuckDB oracle twin.
+
+The update/merge queries derive a deterministic update source from
+``orders`` itself (keys ``o_orderkey % 10 == 0`` re-priced +10.0,
+status 'U'; insert rows get keys shifted past the key domain), then
+run the engine's Merger — so the oracle can reconstruct the exact
+same source in pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_importer_spark.operators.merge import Merger, candidate_key_check
+from database_importer_spark.plans.registry import declare, t
+
+# Shared oracle fragment: the derived update source (matches
+# _updates_df below, column for column).
+_U_SQL = """
+    SELECT o_orderkey,
+           o_totalprice + 10.0 AS o_totalprice,
+           'U' AS o_orderstatus
+    FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+def _updates_df(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+
+
+# --- A.1 sources / metadata ----------------------------------------
+
+
+@declare(
+    "src_file_scan",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def src_file_scan(spark, sf_dir):
+    """Whole-table ingest + projection (reference window.py:294-311:
+    every sheet → one typed table). Parquet-native: schema travels
+    with the file, scan prunes to the projected columns."""
+    return t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@declare(
+    "src_pk_discovery",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           (COUNT(*) = COUNT(DISTINCT o_orderkey)
+            AND COUNT(*) = COUNT(o_orderkey)) AS is_candidate_key
+    FROM orders
+    """,
+)
+def src_pk_discovery(spark, sf_dir):
+    """Candidate-key check — the engine's PK discovery analogue
+    (reference importer.py:18-28 reads the DBMS catalog; Spark has no
+    PK catalog, so keys are *proven* with one aggregate scan)."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("n_nulls"),
+        (
+            (F.count(F.lit(1)) == F.count_distinct("o_orderkey"))
+            & (F.count(F.lit(1)) == F.count("o_orderkey"))
+        ).alias("is_candidate_key"),
+    )
+
+
+# --- A.2 projection / filter / validation --------------------------
+
+
+@declare(
+    "project_columns",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def project_columns(spark, sf_dir):
+    """Column-subset projection (reference importer.py:229-230) —
+    pruning reaches the parquet scan (ReadSchema shows 3 columns)."""
+    return t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@declare(
+    "rename_columns",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+           o_totalprice AS total_price
+    FROM orders
+    """,
+)
+def rename_columns(spark, sf_dir):
+    """Source→target column-name mapping (reference window.py:463-465)."""
+    return t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+@declare(
+    "filter_notnull_keys",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+    """,
+)
+def filter_notnull_keys(spark, sf_dir):
+    """NULL-key rows can never match — dropped before the merge join
+    (reference importer.py:230 dropna(subset=join_on))."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return o.na.drop(subset=["o_orderkey", "o_custkey"])
+
+
+@declare(
+    "assert_unique_keys",
+    oracle="""
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+    """,
+)
+def assert_unique_keys(spark, sf_dir):
+    """The key-uniqueness invariant as a data query: offending key
+    tuples + multiplicity (reference importer.py:242-249 raises on
+    any). Map-side partial agg keeps this one scan at any scale."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .filter(F.col("multiplicity") > 1)
+    )
+
+
+# --- A.3 staging / batching ----------------------------------------
+
+
+@declare("limit0_schema_clone", oracle="SELECT * FROM orders LIMIT 0")
+def limit0_schema_clone(spark, sf_dir):
+    """Zero-row schema clone (reference importer.py:47-51 TOP 0 CTAS):
+    LocalLimit 0 collapses to an empty scan — schema without I/O."""
+    return t(spark, sf_dir, "orders").limit(0)
+
+
+@declare(
+    "stage_chunked_batches",
+    oracle="""
+    WITH numbered AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+        FROM lineitem
+    )
+    SELECT CAST(rn // 5000 AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS batch_rows
+    FROM numbered GROUP BY 1
+    """,
+)
+def stage_chunked_batches(spark, sf_dir):
+    """The reference's 5,000-row staging chunks (importer.py:14,
+    :253-261) as a deterministic batch-id assignment. In the engine
+    the real analogue is writer batching (JDBC ``batchsize``) —
+    this query verifies the partitioning arithmetic."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select((F.row_number().over(w) - 1).alias("rn"))
+        .select(F.floor(F.col("rn") / 5000).alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("batch_rows"))
+    )
+
+
+# --- A.4 merge core -------------------------------------------------
+
+_POST_UPDATE_SQL = f"""
+    WITH u AS ({_U_SQL})
+    SELECT a.o_orderkey, a.o_custkey,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN u.o_orderstatus ELSE a.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN u.o_totalprice ELSE a.o_totalprice END AS o_totalprice,
+           a.o_orderdate, a.o_orderpriority
+    FROM orders a LEFT JOIN u ON a.o_orderkey = u.o_orderkey
+"""
+
+
+@declare("update_inner_join", oracle=_POST_UPDATE_SQL)
+def update_inner_join(spark, sf_dir):
+    """The flagship: set-based update of orders from a derived update
+    source (reference importer.py:312-330 UPDATE..FROM..INNER JOIN).
+    Broadcast-hash join: the 100 TB target is scanned once, the small
+    update side ships to every executor, no shuffle of the big side."""
+    target = t(spark, sf_dir, "orders")
+    m = Merger(target, _updates_df(spark, sf_dir), join_on=["o_orderkey"])
+    return m.merged(update=True)
+
+
+@declare(
+    "update_correlated_subquery",
+    oracle=f"""
+    WITH u AS ({_U_SQL})
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = a.o_orderkey)
+                THEN (SELECT u.o_orderstatus FROM u WHERE u.o_orderkey = a.o_orderkey)
+                ELSE a.o_orderstatus END AS o_orderstatus,
+           CASE WHEN EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = a.o_orderkey)
+                THEN (SELECT u.o_totalprice FROM u WHERE u.o_orderkey = a.o_orderkey)
+                ELSE a.o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders a
+    """,
+)
+def update_correlated_subquery(spark, sf_dir):
+    """Same logical op as update_inner_join, oracle written in the
+    reference's sqlite correlated-subquery dialect (importer.py:331-354)
+    — demonstrating the two dialect branches are one plan (Catalyst
+    decorrelates scalar subqueries to joins; we declare the join)."""
+    target = t(spark, sf_dir, "orders")
+    m = Merger(target, _updates_df(spark, sf_dir), join_on=["o_orderkey"])
+    return m.merged(update=True)
+
+
+@declare(
+    "update_rowcount",
+    oracle=f"""
+    WITH u AS ({_U_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS row_count_updated
+    FROM orders a WHERE EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = a.o_orderkey)
+    """,
+)
+def update_rowcount(spark, sf_dir):
+    """cur.rowcount parity (reference importer.py:359): rows touched
+    by the update = left-semi count (keys validated unique)."""
+    target = t(spark, sf_dir, "orders")
+    m = Merger(target, _updates_df(spark, sf_dir), join_on=["o_orderkey"])
+    return spark.createDataFrame(
+        [(m.updated_rowcount(),)], "row_count_updated bigint"
+    )
+
+
+# insert source: half matching keys (updates), half brand-new keys
+# (max key + k) — deterministic in both engines.
+_INS_SQL = """
+    SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS o_orderkey,
+           o_totalprice + 10.0 AS o_totalprice,
+           'N' AS o_orderstatus
+    FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
+def _insert_source_df(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    max_key = o.agg(F.max("o_orderkey")).collect()[0][0]
+    return o.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + F.lit(max_key + 1)).alias("o_orderkey"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+
+
+@declare(
+    "insert_anti_join",
+    oracle=f"""
+    WITH s AS ({_INS_SQL})
+    SELECT s.o_orderkey, s.o_totalprice, s.o_orderstatus
+    FROM s WHERE NOT EXISTS
+        (SELECT 1 FROM orders a WHERE a.o_orderkey = s.o_orderkey)
+    """,
+)
+def insert_anti_join(spark, sf_dir):
+    """The reference's NotImplementedError half of MERGE
+    (importer.py:361-362), completed: source rows with no target
+    match, via left-anti join (broadcast of target keys not needed —
+    anti join broadcasts the SMALL side when it's the probe's build)."""
+    target = t(spark, sf_dir, "orders")
+    src = _insert_source_df(spark, sf_dir)
+    return src.join(target.select("o_orderkey"), "o_orderkey", "left_anti")
+
+
+@declare(
+    "upsert_merge_full",
+    oracle=f"""
+    WITH u AS ({_U_SQL}), s AS ({_INS_SQL})
+    SELECT a.o_orderkey, a.o_custkey,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN u.o_orderstatus ELSE a.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN u.o_totalprice ELSE a.o_totalprice END AS o_totalprice,
+           a.o_orderdate, a.o_orderpriority
+    FROM orders a LEFT JOIN u ON a.o_orderkey = u.o_orderkey
+    UNION ALL
+    SELECT s.o_orderkey, NULL AS o_custkey, s.o_orderstatus, s.o_totalprice,
+           NULL AS o_orderdate, NULL AS o_orderpriority
+    FROM s WHERE NOT EXISTS
+        (SELECT 1 FROM orders a WHERE a.o_orderkey = s.o_orderkey)
+    """,
+)
+def upsert_merge_full(spark, sf_dir):
+    """Full MERGE: update matched + insert unmatched under one staged
+    scan — the reference's intended end-state ``run(update=True,
+    insert=True)`` (importer.py:293-307)."""
+    target = t(spark, sf_dir, "orders")
+    src = _updates_df(spark, sf_dir).unionByName(_insert_source_df(spark, sf_dir))
+    m = Merger(target, src, join_on=["o_orderkey"])
+    return m.merged(update=True, insert=True)
+
+
+# --- A.5 scalar/type layer as data queries -------------------------
+
+
+@declare(
+    "dtype_translate",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS as_text,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS as_number,
+           CAST(o_orderkey AS DOUBLE) AS as_decimal,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS as_date
+    FROM orders
+    """,
+)
+def dtype_translate(spark, sf_dir):
+    """The canonical-type layer (reference util.py:87-104) as CAST
+    queries — text/number/decimal/datetime round-trips. FLOOR before
+    the double→bigint cast: Spark truncates, DuckDB rounds; the
+    engine's lint (cast_needs_warning) flags exactly this class."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("as_text"),
+        F.floor("o_totalprice").cast("bigint").alias("as_number"),
+        F.col("o_orderkey").cast("double").alias("as_decimal"),
+        F.col("o_orderdate").cast("date").cast("string").alias("as_date"),
+    )
+
+
+@declare(
+    "null_normalize",
+    oracle="""
+    WITH w AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'nan'::DOUBLE
+                    ELSE o_totalprice END AS v
+        FROM orders
+    ), n AS (
+        SELECT CASE WHEN isnan(v) THEN NULL ELSE v END AS v FROM w
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(v) AS BIGINT) AS n_not_null,
+           CAST(SUM(CAST(v AS DECIMAL(25,4))) AS DOUBLE) AS sum_v
+    FROM n
+    """,
+)
+def null_normalize(spark, sf_dir):
+    """NaN→NULL normalization (reference importer.py:257-259 collapses
+    NaN/NA/NaT to SQL NULL). Spark keeps NaN ≠ NULL for doubles —
+    ``nanvl`` is the ingest-time normalizer."""
+    o = t(spark, sf_dir, "orders")
+    w = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(float("nan")))
+        .otherwise(F.col("o_totalprice"))
+        .alias("v")
+    )
+    n = w.select(F.nanvl(F.col("v"), F.lit(None).cast("double")).alias("v"))
+    return n.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_not_null"),
+        F.sum(F.col("v").cast("decimal(25,4)")).cast("double").alias("sum_v"),
+    )
+
+
+@declare(
+    "candidate_key_composite",
+    oracle="""
+    SELECT (COUNT(*) = COUNT(DISTINCT l_orderkey || '|' || l_linenumber)
+            AND COUNT(*) = COUNT(l_orderkey)
+            AND COUNT(*) = COUNT(l_linenumber)) AS is_candidate_key
+    FROM lineitem
+    """,
+)
+def candidate_key_composite(spark, sf_dir):
+    """Composite-key inference over lineitem via the engine's
+    candidate_key_check (single-scan aggregate)."""
+    li = t(spark, sf_dir, "lineitem")
+    ok = candidate_key_check(li, ["l_orderkey", "l_linenumber"])
+    return spark.createDataFrame([(ok,)], "is_candidate_key boolean")

@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference relies on the target DBMS as its optimizer/executor
+(reference: dbimport/importer.py:312-359 pushes one set-based SQL
+statement). Here Catalyst+Tungsten play that role, so the session is
+where we pin the configs that matter at 100 TB:
+
+- AQE on (runtime re-plan: shuffle coalescing, skew-join splitting,
+  dynamic broadcast conversion) — replaces any hand-tuned partition
+  count with a runtime-correct one.
+- Arrow on — every pandas_udf / applyInPandas boundary is vectorized
+  batch transfer, not per-row pickling (the analogue of the
+  reference's ``fast_executemany`` array binding, importer.py:298).
+- UTC session timezone — deterministic timestamp semantics across
+  engines (oracle comparisons) and executors (cluster correctness).
+- shuffle partitions sized from available parallelism; on a real
+  cluster this would be ~2-3x total cores, AQE coalesces down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "database-importer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when the env
+    var is set, else whatever the environment provides (spark-submit
+    on a cluster sets it; bare local runs get ``local[*]``).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # parquet scans: keep footer-based pruning + pushdown on
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # stable timestamp semantics when writing/reading parquet
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,3 @@
+from database_importer_spark.sources.loader import TABLES, load_tables, register_views
+
+__all__ = ["TABLES", "load_tables", "register_views"]

@@ -1,0 +1,87 @@
+"""Test-data / table loading (SURVEY.md §2 A.1 sources).
+
+The reference ingests a whole Excel workbook — every sheet becomes one
+table, loaded untyped then schema-inferred (reference:
+dbimport/window.py:294-311). The Spark-native equivalent is a
+directory of parquet files: every file becomes one named view, schema
+carried by the format. Parquet is the engine's native source because
+at 100 TB it gives us column pruning, predicate pushdown, and
+partition pruning for free through the DataSource V2 scan.
+
+Excel itself (the reference's only source) is supported through the
+same ``ingest_excel`` path the reference uses — pandas parse on the
+driver, then parallelized — because .xlsx is a single-file,
+driver-sized format by construction (≤ 1,048,576 rows/sheet,
+window.py:296 context); it is never the scale path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The ten driver-generated tables (TESTDATA.md). Order matters only
+# for display; keys are the canonical table names used everywhere.
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every parquet table under ``sf_dir`` into a dict of DataFrames.
+
+    Mirrors the reference's whole-workbook load (window.py:296,
+    ``sheet_name=None`` → dict of DataFrames), parquet-native.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for spark.sql paths)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
+
+
+def ingest_excel(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Whole-workbook ingest: every sheet → one DataFrame.
+
+    Reference parity for src_file_scan (window.py:294-311): untyped
+    load (``dtype=object``) then ``convert_dtypes`` inference, here
+    followed by Arrow-backed ``createDataFrame`` so the data plane is
+    JVM-side immediately after parse. Gated on openpyxl presence —
+    parquet is the engine's native source.
+    """
+    try:
+        import pandas as pd
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pandas is required for Excel ingest") from exc
+    try:
+        sheets = pd.read_excel(path, sheet_name=None, dtype=object)
+    except ImportError as exc:  # openpyxl missing in this container
+        raise NotImplementedError(
+            "Excel ingest requires openpyxl; use parquet/csv/json sources"
+        ) from exc
+    out: dict[str, DataFrame] = {}
+    for sheet, pdf in sheets.items():
+        pdf = pdf.convert_dtypes()
+        out[sheet] = spark.createDataFrame(pdf)
+    return out

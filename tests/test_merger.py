@@ -1,0 +1,217 @@
+"""Golden-row ports of the reference merge suite
+(/root/reference/tests/test_importer.py) onto the Spark Merger —
+same seed rows, same expected outputs, same error messages.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from database_importer_spark.operators.merge import (
+    Merger,
+    MergerError,
+    candidate_key_check,
+)
+
+SCHEMA = "id string, item string, quantity int, price double"
+SEED = [
+    ("ID000001", "Apple", 5, 10.0),
+    ("ID000002", "Pear", 4, 9.0),
+    ("ID000003", "Orange", 3, 8.0),
+    ("ID000004", "Lemon", 6, 7.0),
+]
+
+
+@pytest.fixture
+def groceries(spark):
+    return spark.createDataFrame(SEED, SCHEMA)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# --- golden update paths (test_importer.py:146-189) -----------------
+
+
+def test_update_all_match(spark, groceries):
+    """All 4 keys match → all rows take source values
+    (reference tests/test_importer.py:146-164)."""
+    src = spark.createDataFrame(
+        [(i, it, q + 10, p + 10.0) for (i, it, q, p) in SEED], SCHEMA
+    )
+    out = Merger(groceries, src, join_on=["id"], keys=["id"]).merged(update=True)
+    assert rows(out) == [
+        ("ID000001", "Apple", 15, 20.0),
+        ("ID000002", "Pear", 14, 19.0),
+        ("ID000003", "Orange", 13, 18.0),
+        ("ID000004", "Lemon", 16, 17.0),
+    ]
+
+
+def test_update_null_keys_never_match(spark, groceries):
+    """NULL join keys are dropped; their target rows stay unchanged
+    (reference tests/test_importer.py:166-189)."""
+    src = spark.createDataFrame(
+        [
+            ("ID000001", "Apple", 15, 20.0),
+            (None, "Pear", 14, 19.0),
+            ("ID000003", "Orange", 13, 18.0),
+            (None, "Lemon", 16, 17.0),
+        ],
+        SCHEMA,
+    )
+    out = Merger(groceries, src, join_on=["id"]).merged(update=True)
+    assert rows(out) == [
+        ("ID000001", "Apple", 15, 20.0),
+        ("ID000002", "Pear", 4, 9.0),
+        ("ID000003", "Orange", 13, 18.0),
+        ("ID000004", "Lemon", 6, 7.0),
+    ]
+
+
+def test_update_null_value_overwrites(spark, groceries):
+    """UPDATE SET a.c=b.c semantics: a NULL source value overwrites
+    (not COALESCE). Improvement-relevant edge the reference's SQL
+    exhibits implicitly."""
+    src = spark.createDataFrame(
+        [Row(id="ID000001", item=None, quantity=None, price=None)], SCHEMA
+    )
+    out = Merger(groceries, src, join_on=["id"]).merged(update=True)
+    assert rows(out)[0] == ("ID000001", None, None, None)
+
+
+def test_partial_subset_update(spark, groceries):
+    """Only subset columns change; others keep target values."""
+    src = spark.createDataFrame([("ID000002", 99)], "id string, quantity int")
+    out = Merger(groceries, src, join_on=["id"], subset=["quantity"]).merged(
+        update=True
+    )
+    assert ("ID000002", "Pear", 99, 9.0) in rows(out)
+
+
+def test_insert_unmatched(spark, groceries):
+    """insert=True appends unmatched source rows null-padded — the
+    reference's NotImplementedError half (importer.py:361-362)."""
+    src = spark.createDataFrame(
+        [("ID000001", 50), ("ID000099", 42)], "id string, quantity int"
+    )
+    out = Merger(groceries, src, join_on=["id"], subset=["quantity"]).merged(
+        update=True, insert=True
+    )
+    got = rows(out)
+    assert len(got) == 5
+    assert ("ID000001", "Apple", 50, 10.0) in got
+    assert ("ID000099", None, 42, None) in got
+
+
+def test_insert_only(spark, groceries):
+    src = spark.createDataFrame(
+        [("ID000001", 50), ("ID000099", 42)], "id string, quantity int"
+    )
+    out = Merger(groceries, src, join_on=["id"], subset=["quantity"]).merged(
+        update=False, insert=True
+    )
+    got = rows(out)
+    assert len(got) == 5
+    assert ("ID000001", "Apple", 5, 10.0) in got  # target untouched
+
+
+def test_updated_rowcount(spark, groceries):
+    src = spark.createDataFrame(
+        [("ID000001", 50), ("ID000099", 42)], "id string, quantity int"
+    )
+    m = Merger(groceries, src, join_on=["id"], subset=["quantity"])
+    assert m.updated_rowcount() == 1
+
+
+# --- validation errors (test_importer.py:119-144, 200-326) ----------
+
+
+def test_empty_data(spark, groceries):
+    src = spark.createDataFrame([], SCHEMA)
+    with pytest.raises(ValueError, match="data contains no records"):
+        Merger(groceries, src, join_on=["id"])
+
+
+def test_join_on_required(spark, groceries):
+    src = spark.createDataFrame(SEED, SCHEMA)
+    with pytest.raises(ValueError, match=r"column\(s\) to join on are required"):
+        Merger(groceries, src)  # no keys, no join_on
+
+
+def test_join_on_missing_column(spark, groceries):
+    src = spark.createDataFrame(SEED, SCHEMA)
+    with pytest.raises(
+        ValueError, match="couldn't find supplied column to join on: 'index'"
+    ):
+        Merger(groceries, src, join_on=["index"])
+
+
+def test_subset_not_in_data(spark, groceries):
+    src = spark.createDataFrame(SEED, SCHEMA)
+    with pytest.raises(ValueError, match="column provided not found in data: 'size'"):
+        Merger(groceries, src, join_on=["id"], subset=["item", "size"])
+
+
+def test_subset_overlaps_join(spark, groceries):
+    src = spark.createDataFrame(SEED, SCHEMA)
+    with pytest.raises(ValueError, match="cannot contain join on column"):
+        Merger(groceries, src, join_on=["id"], subset=["id", "item"])
+
+
+def test_subset_not_in_target(spark, groceries):
+    src = spark.createDataFrame(
+        [("ID000001", "Apple", 15, 20.0, 1)], SCHEMA + ", size int"
+    )
+    with pytest.raises(
+        ValueError, match="column provided not found in target table: 'size'"
+    ):
+        Merger(groceries, src, join_on=["id"], subset=["item", "size"])
+
+
+def test_duplicate_columns(spark, groceries):
+    src = spark.createDataFrame(SEED, SCHEMA).select("id", "item", "price", "price")
+    with pytest.raises(MergerError, match="data contains duplicate column: 'price'"):
+        Merger(groceries, src, join_on=["id"])
+
+
+def test_duplicate_key_values(spark, groceries):
+    src = spark.createDataFrame(
+        [
+            ("ID000001", "Apple", 15, 20.0),
+            ("ID000002", "Pear", 14, 19.0),
+            ("ID000002", "Orange", 13, 18.0),
+        ],
+        SCHEMA,
+    )
+    m = Merger(groceries, src, join_on=["id"])
+    with pytest.raises(
+        MergerError, match="data contains duplicate values in join on column: 'id'"
+    ):
+        m.merged(update=True)
+
+
+def test_no_action(spark, groceries):
+    src = spark.createDataFrame(SEED, SCHEMA)
+    m = Merger(groceries, src, join_on=["id"])
+    with pytest.raises(ValueError, match="at least one action must be performed"):
+        m.merged(update=False, insert=False)
+
+
+def test_default_join_from_keys(spark, groceries):
+    """join_on defaults to keys ∩ data.columns (importer.py:100)."""
+    src = spark.createDataFrame([("ID000001", 50)], "id string, quantity int")
+    m = Merger(groceries, src, keys=["id"])
+    assert m.join_on == ["id"]
+    assert m.subset == ["quantity"]
+
+
+def test_candidate_key_check(spark, groceries):
+    assert candidate_key_check(groceries, ["id"]) is True
+    assert candidate_key_check(groceries, ["item"]) is True
+    dup = groceries.unionByName(groceries)
+    assert candidate_key_check(dup, ["id"]) is False
+    with_null = spark.createDataFrame([(None, "x", 1, 1.0)], SCHEMA).unionByName(
+        groceries
+    )
+    assert candidate_key_check(with_null, ["id"]) is False

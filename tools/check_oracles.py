@@ -1,0 +1,131 @@
+"""Driver-style oracle checker: run every declared query on Spark and
+its DuckDB twin, compare row-count + column names + canonicalized
+values. Local feedback loop for the per-round CORRECTNESS gate.
+
+Usage: python tools/check_oracles.py [sf_dir] [key ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize dtypes, sort rows."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.map(
+                lambda v: tuple(np.asarray(v).tolist())
+                if isinstance(v, (list, np.ndarray))
+                else v
+            )
+    df = df.sort_values(by=list(df.columns), ignore_index=True, key=lambda s: s.map(str))
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duckdb={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns: spark={sc} duckdb={dc}")
+        return problems
+    if problems:
+        return problems
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        bad = [i for i, (x, y) in enumerate(zip(av, bv)) if not values_equal(x, y)]
+        if bad:
+            i = bad[0]
+            problems.append(
+                f"col '{c}': {len(bad)} mismatches, first at row {i}: "
+                f"spark={av[i]!r} duckdb={bv[i]!r}"
+            )
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from database_importer_spark import get_spark
+    from database_importer_spark.plans import REGISTRY
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for name in tables:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+
+    passed, failed, rows_only = [], [], []
+    for key, q in sorted(REGISTRY.items()):
+        if only and key not in only:
+            continue
+        try:
+            sdf = q.fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception as e:
+            failed.append((key, f"SPARK ERROR: {type(e).__name__}: {e}"))
+            print(f"FAIL {key}: spark error: {e}")
+            continue
+        if q.oracle is None:
+            rows_only.append((key, len(spark_pdf)))
+            print(f"ROWS {key}: {len(spark_pdf)} rows (no oracle)")
+            continue
+        try:
+            duck_pdf = con.sql(q.oracle).df()
+        except Exception as e:
+            failed.append((key, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
+            print(f"FAIL {key}: duckdb error: {e}")
+            continue
+        problems = compare(spark_pdf, duck_pdf)
+        if problems:
+            failed.append((key, "; ".join(problems)))
+            print(f"FAIL {key}: {'; '.join(problems)}")
+        else:
+            passed.append(key)
+            print(f"PASS {key} ({len(spark_pdf)} rows)")
+
+    print(
+        f"\n== {len(passed)} passed, {len(failed)} failed, "
+        f"{len(rows_only)} rows-only =="
+    )
+    if failed:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
