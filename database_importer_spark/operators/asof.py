@@ -1,0 +1,75 @@
+"""As-of (nearest-predecessor) join — an operator Spark lacks natively.
+
+For each left row, attach the latest right row with ``right.ts <=
+left.ts`` within the same key group (backward as-of, inclusive —
+DuckDB/pandas ``merge_asof`` semantics).
+
+Algorithm (scale-first): instead of a range join (quadratic blow-up
+on hot keys) or per-key ``merge_asof`` in pandas (Python boundary),
+UNION both sides tagged with a side marker, sort within each key by
+``(ts, side, tiebreak)`` so right rows sort before left rows at equal
+timestamps, then ``last(payload, ignorenulls=True)`` over an
+unbounded-preceding row frame carries the most recent right payload
+forward onto every left row. One shuffle, one sort, O(n log n),
+window runs in whole-stage codegen — this survives 100 TB where a
+theta join would not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SIDE = "__asof_side"
+_TS = "__asof_ts"
+_TIE = "__asof_tie"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join; left rows keep NULL payload when
+    no right row precedes them (LEFT ASOF semantics).
+
+    ``payload``: right columns to attach (must not collide with left).
+    ``right_tiebreak``: right column ordering ties at equal (key, ts)
+    — the later value wins deterministically.
+    """
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"payload columns collide with left side: {sorted(overlap)}")
+
+    tie = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    r = right.select(
+        *on,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        tie.alias(_TIE),
+        *[F.col(c) for c in payload],
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r.schema[_TIE].dataType).alias(_TIE),
+        *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in payload],
+    )
+    both = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = both.select(
+        *[c for c in both.columns if c not in payload],
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE, _TS, _TIE)

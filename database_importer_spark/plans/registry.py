@@ -46,8 +46,11 @@ def declare(key: str, oracle: str | None = None):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table (parquet scan → pushdown-capable)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one testdata table (parquet scan → pushdown-capable),
+    ns-timestamp columns normalized to µs (see sources.loader)."""
+    from database_importer_spark.sources.loader import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 # Exact-decimal accumulation type for double aggregates: wide enough

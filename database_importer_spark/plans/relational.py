@@ -1,1 +1,518 @@
-"""Placeholder — filled in as coverage widens."""
+"""Relational closure — SURVEY.md §2 B.1-B.4 (scans/sinks, filters,
+joins, aggregations), each with a DuckDB oracle twin.
+
+Scale notes live on each query: what the planner should pick
+(broadcast vs SMJ, pushdown reaching the scan) and why that holds at
+1000 executors. Double aggregates use exact DECIMAL accumulation cast
+to DOUBLE (registry.DEC) so values are order-independent and hash
+identically across engines.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from database_importer_spark.operators.asof import asof_join
+from database_importer_spark.plans.registry import DEC, declare, t
+
+# --- B.1 scans / sinks ---------------------------------------------
+
+
+@declare(
+    "scan_parquet_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity < 10
+    """,
+)
+def scan_parquet_pushdown(spark, sf_dir):
+    """Filter + projection reaching the parquet scan: .explain shows
+    PushedFilters [GreaterThanOrEqual(l_shipdate), LessThan(l_quantity)]
+    and a 4-column ReadSchema — at 100 TB this is the difference
+    between reading 4 columns of a few row groups and the whole table."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@declare(
+    "scan_csv_json",
+    oracle="""
+    SELECT * FROM region
+    UNION ALL
+    SELECT * FROM region
+    """,
+)
+def scan_csv_json(spark, sf_dir):
+    """CSV + JSON sources with explicit schemas (no inference job),
+    round-tripped from the region table. Explicit schema matters at
+    scale: inference is a full extra pass over the input."""
+    r = t(spark, sf_dir, "region")
+    base = os.path.join(tempfile.gettempdir(), "dbis_scan_csv_json")
+    csv_p, json_p = base + ".csv", base + ".json"
+    r.write.mode("overwrite").option("header", True).csv(csv_p)
+    r.write.mode("overwrite").json(json_p)
+    schema = "r_regionkey int, r_name string"
+    csv_df = spark.read.schema(schema).option("header", True).csv(csv_p)
+    json_df = spark.read.schema(schema).json(json_p)
+    return csv_df.unionByName(json_df)
+
+
+@declare(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def sink_parquet_partitioned(spark, sf_dir):
+    """Partitioned parquet sink + partition-pruned re-read. Hive-style
+    ``order_year=YYYY`` directories mean a reader filtering on year
+    touches one directory — partition pruning is the 100 TB analogue
+    of the reference's per-table staging."""
+    o = t(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.gettempdir(), "dbis_sink_parquet")
+    o.withColumn("order_year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("order_year").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("order_year").cast("int").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# --- B.2 filters ----------------------------------------------------
+
+
+@declare(
+    "filter_comparison",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+    WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.06
+    """,
+)
+def filter_comparison(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30) & F.col("l_discount").between(0.02, 0.06)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@declare(
+    "filter_in_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND (p_name LIKE '%a%' OR p_type LIKE 'small%')
+    """,
+)
+def filter_in_like(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_name").like("%a%") | F.col("p_type").like("small%"))
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+@declare(
+    "filter_null_semantics",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderkey,
+               NULLIF(o_orderstatus, 'O') AS s1,
+               NULLIF(o_orderpriority, '1-URGENT') AS s2
+        FROM orders
+    )
+    SELECT o_orderkey,
+           s1 IS NULL AS s1_is_null,
+           s2 IS NOT NULL AS s2_not_null,
+           (s1 IS NOT DISTINCT FROM s2) AS null_safe_eq
+    FROM w
+    """,
+)
+def filter_null_semantics(spark, sf_dir):
+    """NULL three-valued logic + null-safe equality: Spark ``<=>``
+    (eqNullSafe) ≡ ANSI IS NOT DISTINCT FROM."""
+    o = t(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("s1"),
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("s2"),
+    )
+    return w.select(
+        "o_orderkey",
+        F.col("s1").isNull().alias("s1_is_null"),
+        F.col("s2").isNotNull().alias("s2_not_null"),
+        F.col("s1").eqNullSafe(F.col("s2")).alias("null_safe_eq"),
+    )
+
+
+# --- B.3 joins ------------------------------------------------------
+
+
+@declare(
+    "join_broadcast_hash",
+    oracle="""
+    SELECT r.r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast_hash(spark, sf_dir):
+    """Star join with broadcast dims: nation/region are KB-sized at
+    any SF — broadcasting them means the 100 TB fact side never
+    shuffles; each task joins locally against the hashed dim."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+@declare(
+    "join_shuffle_sortmerge",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_shuffle_sortmerge(spark, sf_dir):
+    """Large⨝large on the natural key: planner picks shuffle
+    hash/sort-merge; both sides hash-partition on l_orderkey —
+    co-partitioning (bucketing) on orderkey would eliminate the
+    shuffle entirely on a persistent 100 TB layout. AQE handles skew."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@declare(
+    "join_left_semi",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)
+    """,
+)
+def join_left_semi(spark, sf_dir):
+    """Semi join: existence check without multiplying rows — the
+    build side only ships keys, so it broadcasts far later than a
+    full join would."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return o.join(c, o.o_custkey == c.c_custkey, "left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@declare(
+    "join_left_anti",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)
+    """,
+)
+def join_left_anti(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return o.join(c, o.o_custkey == c.c_custkey, "left_anti").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@declare(
+    "join_outer_full",
+    oracle="""
+    WITH co AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers
+                FROM customer GROUP BY 1),
+         su AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+                FROM supplier GROUP BY 1)
+    SELECT COALESCE(co.nk, su.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM co FULL OUTER JOIN su ON co.nk = su.nk
+    """,
+)
+def join_outer_full(spark, sf_dir):
+    """Full outer with coalesced keys — the classic reconciliation
+    shape (who has customers but no suppliers and vice versa)."""
+    co = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    su = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    j = co.alias("co").join(su.alias("su"), F.col("co.nk") == F.col("su.nk"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("co.nk"), F.col("su.nk")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@declare(
+    "join_theta_range",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_shipped_in_window
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate BETWEEN o.o_orderdate
+                          AND o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    """Mixed equi + range predicate: the equi part drives the hash
+    join (no cartesian blow-up) and the range residual filters inside
+    the join — exactly how a 100 TB range join must be shaped (a pure
+    theta join would BNLJ and never finish)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.expr("o_orderdate + INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_shipped_in_window"))
+    )
+
+
+@declare(
+    "join_asof_nearest",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """As-of join: latest purchase at-or-before each click, per user —
+    via the engine's union+window asof_join (one shuffle, no range
+    join; see operators/asof.py). Oracle: DuckDB ASOF LEFT JOIN."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases.withColumn("purchase_ts", F.col("p_ts")),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        payload=["purchase_ts", "purchase_value"],
+        right_tiebreak="p_event_id",
+    )
+    return out.select("event_id", "user_id", "ts", "purchase_ts", "purchase_value")
+
+
+@declare(
+    "join_cross_limited",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def join_cross_limited(spark, sf_dir):
+    """Cross join constrained to tiny inputs (dims × distinct states)
+    — the only shape where cartesian products are acceptable."""
+    r = t(spark, sf_dir, "region")
+    s = t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).select("r_name", "o_orderstatus")
+
+
+# --- B.4 aggregations ----------------------------------------------
+
+
+@declare(
+    "agg_hash_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash_groupby(spark, sf_dir):
+    """TPC-H Q1 shape: partial (map-side) + final hash aggregation —
+    the shuffle carries one row per (group × partition), not the
+    data. DECIMAL accumulation makes the sums order-independent, so
+    results are bit-identical at any parallelism (the property that
+    makes this oracle-checkable AND cluster-deterministic)."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def dsum(c):
+        return F.sum(F.col(c).cast(DEC)).cast("double")
+
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@declare(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    """Exact distinct: Catalyst expands to a two-phase aggregate
+    (distinct-first, then count) — at scale prefer approx_count_distinct
+    unless exactness is required (see agg_approx_distinct)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@declare(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """CUBE: all 4 grouping sets in one pass (Expand + aggregate) —
+    one scan instead of four."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+    )
+
+
+@declare(
+    "agg_approx_distinct",
+    oracle="""
+    WITH e AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nd
+               FROM orders)
+    SELECT exact_nd, TRUE AS approx_within_15pct FROM e
+    """,
+)
+def agg_approx_distinct(spark, sf_dir):
+    """HLL++ sketch vs exact: the query asserts the estimate lands
+    within 15% of truth (algorithm-specific values can't hash-match
+    across engines; the tolerance verdict can). At 100 TB the sketch
+    is mergeable — no distinct-shuffle of the raw keys."""
+    o = t(spark, sf_dir, "orders")
+    row = o.agg(
+        F.count_distinct("o_custkey").alias("exact_nd"),
+        F.approx_count_distinct("o_custkey").alias("approx_nd"),
+    ).collect()[0]
+    ok = abs(row["approx_nd"] - row["exact_nd"]) <= 0.15 * row["exact_nd"]
+    return spark.createDataFrame(
+        [(row["exact_nd"], bool(ok))], "exact_nd bigint, approx_within_15pct boolean"
+    )
+
+
+@declare(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark, sf_dir):
+    """Exact interpolated percentile (full sort per group). ROUND(6)
+    guards the one non-order-independent step (linear interpolation
+    may differ in the last ulp between engines)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+    )
+
+
+@declare(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT r.r_name, list_sort(list(n.n_name)) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Array agg canonicalized with sort_array — collect order is
+    partition-dependent, sorted output is deterministic."""
+    n = t(spark, sf_dir, "nation")
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+    )

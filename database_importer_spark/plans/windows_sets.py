@@ -1,1 +1,444 @@
-"""Placeholder — filled in as coverage widens."""
+"""Window functions, sorts/limits, set operations, scalar functions —
+SURVEY.md §2 B.5-B.8, each with a DuckDB oracle twin.
+
+Every window/limit ORDER BY carries a full tiebreak key (§7.4) so
+results are total-ordered and deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database_importer_spark.plans.registry import DEC, declare, t
+
+# --- B.5 window functions ------------------------------------------
+
+
+@declare(
+    "win_rank_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_rank_topk_per_group(spark, sf_dir):
+    """Top-k per group via row_number + filter: one shuffle on the
+    partition key, per-group sort only (never a global sort). At
+    100 TB this is the canonical 'top 3 orders per customer' plan."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@declare(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@declare(
+    "win_running_sum_rows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+    FROM orders
+    """,
+)
+def win_running_sum_rows(spark, sf_dir):
+    """Running total per customer: DECIMAL accumulation makes every
+    prefix sum order-independent-exact, so the whole column hash-matches."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@declare(
+    "win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_near_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER w AS DOUBLE)
+           AS near_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    """Value-range frame (orderkey within 10) — rangeBetween on a
+    numeric sort key; frame membership is value-based, not row-based."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rangeBetween(-10, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_near_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("near_spend"),
+    )
+
+
+@declare(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT)
+           AS balance_quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark, sf_dir):
+    """Quartile assignment. NOTE: an unpartitioned window is a
+    single-task sort — fine for dimension-sized inputs; at fact-table
+    scale use approx percentile cutpoints + a broadcast bucketizer
+    instead (no global sort)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("balance_quartile")
+    )
+
+
+# --- B.6 sorts / limits --------------------------------------------
+
+
+@declare(
+    "sort_multikey",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS sort_rank
+    FROM orders
+    """,
+)
+def sort_multikey(spark, sf_dir):
+    """Multi-key global sort, materialized as an explicit rank column
+    so the ordering itself is value-hash-checkable (a bare ORDER BY
+    is invisible to an order-insensitive hash). Spark executes this
+    as a range-partitioned sort (sampled boundaries, no single-node
+    bottleneck except the rank window itself)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.row_number().over(w).cast("bigint").alias("sort_rank"),
+    )
+
+
+@declare(
+    "limit_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def limit_topk_global(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject — each task
+    keeps its local top 10, driver merges; never a full sort. The
+    full tiebreak makes the result set deterministic."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# --- B.7 set operations --------------------------------------------
+
+
+@declare(
+    "set_union_all",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+    """,
+)
+def set_union_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    return a.unionByName(b)
+
+
+@declare(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+    """,
+)
+def set_union_distinct(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    return a.unionByName(b).distinct()
+
+
+@declare(
+    "set_intersect",
+    oracle="""
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def set_intersect(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return o.intersect(c)
+
+
+@declare(
+    "set_except",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey FROM customer
+    """,
+)
+def set_except(spark, sf_dir):
+    """EXCEPT ALL (multiset semantics): order custkeys with
+    multiplicity minus one occurrence each — a customer with n orders
+    keeps n-1 copies, exercising the multiplicity-preserving variant."""
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    return o.exceptAll(c)
+
+
+# --- B.8 scalar functions ------------------------------------------
+
+
+@declare(
+    "fn_string_core",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           trim(p_type) AS type_trim,
+           substring(p_name, 1, 5) AS name_head,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(length(p_name) AS INT) AS name_len,
+           replace(p_name, ' ', '_') AS name_snake,
+           regexp_extract(p_type, '([a-z]+)$', 1) AS type_last_word,
+           CAST(length(string_split(p_name, ' ')) AS INT) AS name_words
+    FROM part
+    """,
+)
+def fn_string_core(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim("p_type").alias("type_trim"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.regexp_extract("p_type", "([a-z]+)$", 1).alias("type_last_word"),
+        F.size(F.split("p_name", " ")).alias("name_words"),
+    )
+
+
+@declare(
+    "fn_date_core",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_monthnum,
+           CAST(isodow(o_orderdate) AS INT) AS order_isodow,
+           CAST(datediff('day', DATE '1997-01-01', CAST(o_orderdate AS DATE))
+                AS INT) AS days_since_97,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR
+                AS due_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+    FROM orders
+    """,
+)
+def fn_date_core(spark, sf_dir):
+    """Date kernel. Dialect trap handled: Spark ``dayofweek`` is
+    1=Sunday while DuckDB ``dayofweek`` is 0=Sunday — both sides use
+    the ISO numbering (1=Monday) instead. Date-typed outputs go out
+    as ISO strings (pandas date/datetime canonicalization differs)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_monthnum"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("order_isodow"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1997-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_97"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("string").alias("month_end"),
+    )
+
+
+@declare(
+    "fn_math_core",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           abs(l_discount - 0.04) AS disc_dev,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(sign(l_discount - 0.03) AS DOUBLE) AS disc_sign,
+           round(l_discount, 2) AS disc_r2
+    FROM lineitem
+    """,
+)
+def fn_math_core(spark, sf_dir):
+    """Math kernel. Only IEEE-deterministic ops (mul/div/abs/sqrt are
+    correctly-rounded; same double in → same double out in both
+    engines). ln/pow are libm-dependent and excluded from exact
+    hashing by design."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+        .alias("charge"),
+        F.abs(F.col("l_discount") - 0.04).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil7"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.signum(F.col("l_discount") - 0.03).cast("double").alias("disc_sign"),
+        F.round("l_discount", 2).alias("disc_r2"),
+    )
+
+
+@declare(
+    "fn_array_core",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(tokens) AS INT) AS n_tokens,
+           CAST(length(list_distinct(tokens)) AS INT) AS n_unique,
+           list_contains(tokens, 'data') AS has_data,
+           array_to_string(tokens[1:3], ' ') AS first3,
+           tokens[1] AS first_token
+    FROM toks
+    """,
+)
+def fn_array_core(spark, sf_dir):
+    """Array kernel over tokenized text: size / distinct / contains /
+    slice / element_at. Set-like outputs canonicalized (counts,
+    membership) — raw list_distinct order is engine-specific."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    return toks.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_unique"),
+        F.array_contains("tokens", "data").alias("has_data"),
+        F.concat_ws(" ", F.slice("tokens", 1, 3)).alias("first3"),
+        F.element_at("tokens", 1).alias("first_token"),
+    )
+
+
+@declare(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0 AS k_mod10
+    FROM events
+    """,
+)
+def fn_json_extract(spark, sf_dir):
+    """Semi-structured access: get_json_object + typed from_json over
+    the events.props JSON column — at scale prefer from_json once
+    into a struct over repeated get_json_object calls (single parse)."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k INT").alias("j"),
+    )
+    return parsed.select(
+        "event_id",
+        "k_str",
+        F.col("j.k").alias("k_int"),
+        (F.col("j.k") % 10 == 0).alias("k_mod10"),
+    )
+
+
+@declare(
+    "fn_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                WHEN o_totalprice < 300000 THEN 'large'
+                ELSE 'jumbo' END AS price_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS band_total
+    FROM orders GROUP BY 1
+    """,
+)
+def fn_case_when(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+        .alias("price_band")
+    )
+    return o.groupBy(band).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("band_total"),
+    )

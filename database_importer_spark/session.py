@@ -56,6 +56,10 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         # stable timestamp semantics when writing/reading parquet
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # parquet TIMESTAMP(NANOS) columns surface as long (ns since
+        # epoch); the loader truncates them to µs timestamps — the
+        # same truncation DuckDB applies, so oracles agree.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")

@@ -20,6 +20,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # The ten driver-generated tables (TESTDATA.md). Order matters only
 # for display; keys are the canonical table names used everywhere.
@@ -39,6 +41,28 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# columns stored as parquet TIMESTAMP(NANOS): with nanosAsLong they
+# surface as ns-since-epoch longs; normalize to µs timestamps (the
+# truncation DuckDB applies too, so both engines agree).
+NS_TIMESTAMP_COLS = {"events": ["ts"]}
+
+
+def _normalize_ns_timestamps(name: str, df: DataFrame) -> DataFrame:
+    for col in NS_TIMESTAMP_COLS.get(name, []):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            # integer division — float division of ns-scale longs
+            # (~1.7e18) exceeds double precision and lands ±1 µs off
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return _normalize_ns_timestamps(name, spark.read.parquet(path))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every parquet table under ``sf_dir`` into a dict of DataFrames.
 
@@ -49,7 +73,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = _normalize_ns_timestamps(name, spark.read.parquet(path))
     return out
 
 
