@@ -1,0 +1,228 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2
+B.10 / BASELINE.json mandate): exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+All hot paths are built-in JVM expressions (xxhash64, array ops,
+aggregates) — no Python UDFs — so they run inside whole-stage codegen
+and scale by partitioning. Each returns a DataFrame, composable with
+the rest of the engine.
+
+Scale design at 100 TB:
+  * exact dedup: hash-groupBy on a 256-bit digest — one shuffle of
+    (digest, id), never the payload.
+  * MinHash LSH: shingles → k seeded hash-mins (map-side, no
+    shuffle) → band buckets → shuffle only (band_hash, id) pairs →
+    candidate pairs verified by exact Jaccard on the candidates only.
+    Band/row parameters trade recall for candidate volume.
+  * SimHash: 64 weighted-bit sums per doc (one aggregation), near-dup
+    = small Hamming distance on the 64-bit fingerprint.
+  * embedding cosine: LSH-style blocking would precede the pair join
+    at scale; the exact pair join here is the oracle-checkable path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content digest: keep the smallest id per
+    distinct text (deterministic representative). Returns the kept
+    (id, digest, n_copies) — join back on id to materialize rows."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Word n-gram shingles as an array column ``shingle_arr``
+    (distinct, order-canonical). Built-ins only: split + transform +
+    slice + concat — no UDF."""
+    toks = F.split(F.col(text_col), " ")
+    # i-th shingle = tokens[i..i+n-1] joined; sequence over token count
+    arr = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+    return df.withColumn("shingle_arr", F.array_distinct(arr))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, shingle_col: str = "shingle_arr", num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature: for seed k, sig[k] = min over shingles of
+    xxhash64(shingle, k). Pure map-side (explode → groupBy id is one
+    shuffle of hashed shingles; at scale compute mins with
+    aggregate() per row instead — done here: no explode at all)."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.expr(f"transform({shingle_col}, s -> xxhash64(s, {k}))")
+            ).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash_sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and bucket-join: docs sharing any band
+    bucket become candidate pairs (id_a < id_b). Only (band_id,
+    band_hash, id) tuples shuffle — payload never moves."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.element_at("minhash_sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    shingle_col: str = "shingle_arr",
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs: |A∩B| / |A∪B| via array
+    built-ins. Join candidates back to shingle arrays (the only step
+    that touches content, and only for candidates)."""
+    sa = df.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("sh_a"))
+    sb = df.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("sh_b"))
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band
+    buckets → candidate pairs → exact-Jaccard verify ≥ threshold.
+    LSH is a recall filter; the output is exact-verified, so false
+    positives never survive (false negatives are the recall cost)."""
+    sh = shingles(df, text_col, shingle_n)
+    sigs = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_pairs(sh, id_col, cands).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint: per token hash, each bit votes
+    ±1; fingerprint bit b = sign of the vote sum. One explode + one
+    64-sum aggregation, all JVM-side."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return votes.select(F.col(id_col), fp.alias("simhash64"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two 64-bit fingerprints (bit_count of
+    XOR — built-in, codegen-friendly)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_ids: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine ≥ threshold. Exact pair
+    join (O(n²) per block) — at scale, precede with LSH hyperplane
+    blocking (see similarity.hyperplane_buckets) so only same-bucket
+    pairs join; this function is the verify step either way."""
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    if block_ids is not None:
+        base = base.filter(F.col(id_col) < block_ids)
+    norm = base.withColumn(
+        "n", F.sqrt(F.expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)"))
+    )
+    a = norm.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = norm.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (SURVEY.md §2 B.10):
+brute-force cosine top-k (the exact baseline) and an LSH-bucketed
+approximate variant (the scale path).
+
+Embeddings are ``array<float>`` columns; all math is done in double
+via SQL higher-order functions (transform / zip_with / aggregate) —
+JVM-side, no Python boundary, deterministic IEEE arithmetic.
+
+Scale design: brute force is O(|Q|·|N|) — fine when |Q| is small
+(broadcast the queries) or as the verify step after blocking. The
+hyperplane-LSH variant buckets vectors by the sign pattern of r
+random projections; a query probes only its bucket (recall traded
+for r). At 100 TB: partition by bucket, broadcast the (tiny) query
+set, per-partition top-k then global top-k merge — no global sort.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+
+
+def _as_double(col: str):
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str = "v") -> DataFrame:
+    """Project the float vector to double + attach its L2 norm."""
+    return df.withColumn(out, _as_double(vec_col)).withColumn(
+        f"{out}_norm",
+        F.sqrt(F.expr(f"aggregate({out}, cast(0.0 as double), (acc, x) -> acc + x * x)")),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest
+    corpus vectors (excluding itself when ids collide). Queries are
+    broadcast — the corpus never shuffles; per-group top-k via
+    row_number with (cosine desc, id) tiebreak."""
+    qid = query_id_col or id_col
+    c = with_norm(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("corpus_id"), "cv", "cv_norm"
+    )
+    q = with_norm(queries, vec_col, "qv").select(
+        F.col(qid).alias("query_id"), "qv", "qv_norm"
+    )
+    dot = F.expr(DOT.format(a="qv", b="cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            (dot / (F.col("qv_norm") * F.col("cv_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, r: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side, tiny — r×dim
+    floats broadcast as literals)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(r)]
+
+
+def hyperplane_buckets(
+    df: DataFrame, vec_col: str, planes: list[list[float]], out: str = "bucket"
+) -> DataFrame:
+    """LSH bucket id = sign pattern of r random projections, packed
+    into a long. Pure expression — no UDF, no shuffle."""
+    bucket = None
+    for i, p in enumerate(planes):
+        arr = "array(" + ", ".join(f"cast({x!r} as double)" for x in p) + ")"
+        proj = F.expr(DOT.format(a=f"transform({vec_col}, x -> cast(x as double))", b=arr))
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        bucket = term if bucket is None else bucket + term
+    return df.withColumn(out, bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket.
+    Join is equi on bucket → hash join, no cross product. Recall is
+    governed by num_planes (fewer planes → bigger buckets → higher
+    recall, more compute)."""
+    planes = random_hyperplanes(dim, num_planes, seed)
+    c = hyperplane_buckets(with_norm(corpus, vec_col, "cv"), vec_col, planes).select(
+        F.col(id_col).alias("corpus_id"), "cv", "cv_norm", "bucket"
+    )
+    q = hyperplane_buckets(with_norm(queries, vec_col, "qv"), vec_col, planes).select(
+        F.col(id_col).alias("query_id"), "qv", "qv_norm", "bucket"
+    )
+    dot = F.expr(DOT.format(a="qv", b="cv"))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            (dot / (F.col("qv_norm") * F.col("cv_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -1,1 +1,424 @@
-"""Placeholder — filled in as coverage widens."""
+"""LLM-data-pipeline declared queries (SURVEY.md §2 B.10): dedup
+family, similarity search, text analysis, multimodal columns — over
+the documents/embeddings tables.
+
+Probabilistic ops (MinHash-LSH, SimHash, hyperplane-LSH) are
+rows-only: their hash functions (xxhash64) have no DuckDB twin. Every
+deterministic op gets an exact oracle, including the mapInPandas
+multimodal feature path (its stub decode is arithmetic on bytes,
+which SQL can twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database_importer_spark.operators import dedup as D
+from database_importer_spark.operators import multimodal as M
+from database_importer_spark.operators import similarity as S
+from database_importer_spark.operators import textstats as X
+from database_importer_spark.plans.registry import DEC, declare, t
+
+# --- dedup ----------------------------------------------------------
+
+
+@declare(
+    "llm_dedup_exact",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT min(doc_id) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM docs GROUP BY text
+    """,
+)
+def llm_dedup_exact(spark, sf_dir):
+    """Exact dedup by sha2(text) hash-groupBy over a corpus with
+    planted duplicates (every 20th doc repeated). Only (digest, id)
+    shuffles — at 100 TB the text payload never moves. Oracle groups
+    by text itself (equivalent absent collisions)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(planted)
+    return D.exact_dedup(corpus, "text", "doc_id").select("doc_id", "n_copies")
+
+
+@declare(
+    "llm_dedup_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(length(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+               )) AS shingle_arr
+        FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b
+          ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(length(list_intersect(sa.shingle_arr, sb.shingle_arr)) AS DOUBLE)
+           / CAST(length(list_distinct(sa.shingle_arr || sb.shingle_arr)) AS DOUBLE)
+           AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    """,
+)
+def llm_dedup_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram-shingle Jaccard on prefix-blocked candidate pairs
+    — the verify stage of near-dedup, oracle-checkable end to end
+    (blocking here = shared 40-char prefix; LSH replaces blocking at
+    scale, the verify math is identical)."""
+    d = t(spark, sf_dir, "documents")
+    sh = D.shingles(d.select("doc_id", "text"), "text", 3).select(
+        "doc_id", "shingle_arr"
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, 40).alias("pa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.substring("text", 1, 40).alias("pb"))
+    cand = a.join(b, (F.col("pa") == F.col("pb")) & (F.col("id_a") < F.col("id_b"))).select(
+        "id_a", "id_b"
+    )
+    return D.jaccard_pairs(sh, "doc_id", cand)
+
+
+@declare("llm_dedup_near_minhash", oracle=None)
+def llm_dedup_near_minhash(spark, sf_dir):
+    """MinHash(32)+LSH(8 bands) near-dup pipeline, exact-Jaccard-
+    verified at ≥0.3 (rows-only: xxhash64 has no cross-engine twin;
+    correctness of the verify math is covered by
+    llm_dedup_jaccard_pairs, and tests assert LSH pairs ⊆ exact
+    pairs)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.minhash_near_dups(d, "text", "doc_id", threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@declare("llm_dedup_simhash", oracle=None)
+def llm_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 64-bit fingerprints, prefix-blocked pairs
+    within Hamming distance ≤ 16 (rows-only: xxhash64-based)."""
+    d = t(spark, sf_dir, "documents")
+    fp = D.simhash(d.select("doc_id", "text"), "text", "doc_id")
+    a = d.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, 40).alias("pa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.substring("text", 1, 40).alias("pb"))
+    cand = a.join(b, (F.col("pa") == F.col("pb")) & (F.col("id_a") < F.col("id_b"))).select(
+        "id_a", "id_b"
+    )
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash64").alias("ha"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash64").alias("hb"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", D.hamming64(F.col("ha"), F.col("hb")).alias("hamming"))
+        .filter(F.col("hamming") <= 16)
+    )
+
+
+@declare(
+    "llm_dedup_embedding",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+               AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs
+    ORDER BY cosine DESC, id_a, id_b LIMIT 20
+    """,
+)
+def llm_dedup_embedding(spark, sf_dir):
+    """Embedding near-dup: top-20 most-similar pairs by exact cosine
+    (double math on both sides → bit-identical). The scale path
+    blocks with hyperplane LSH first (similarity.hyperplane_buckets);
+    this is the oracle-checkable verify stage."""
+    e = t(spark, sf_dir, "embeddings")
+    pairs = D.embedding_cosine_pairs(e, "vec_id", "embedding", threshold=-1.0)
+    return pairs.orderBy(F.col("cosine").desc(), "id_a", "id_b").limit(20)
+
+
+# --- similarity search ---------------------------------------------
+
+
+@declare(
+    "llm_similarity_topk",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))
+               AS cosine
+        FROM q JOIN embeddings c ON c.vec_id != q.vec_id
+    )
+    SELECT query_id, corpus_id, cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def llm_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for 5 query vectors: queries
+    broadcast, corpus scanned once, per-query top-k window — the
+    exact ANN baseline (and the verify stage for the LSH variant)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(e, q, "vec_id", "embedding", k=3)
+
+
+@declare("llm_similarity_lsh", oracle=None)
+def llm_similarity_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN: probe only the query's bucket
+    (equi hash join on bucket id — no cross product). Rows-only;
+    tests assert recall against the brute-force baseline."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(e, q, "vec_id", "embedding", k=3, num_planes=4)
+
+
+# --- text analysis --------------------------------------------------
+
+
+@declare(
+    "llm_text_tokenize_tf",
+    oracle="""
+    WITH tf AS (
+        SELECT t.term, CAST(COUNT(*) AS BIGINT) AS term_count
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+        GROUP BY t.term
+    )
+    SELECT term, term_count FROM tf
+    ORDER BY term_count DESC, term LIMIT 20
+    """,
+)
+def llm_text_tokenize_tf(spark, sf_dir):
+    """Corpus term frequencies, top-20: tokenize → explode → count.
+    Map-side partial agg means the shuffle carries (term, count) per
+    partition, not token instances."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .orderBy(F.col("term_count").desc(), "term")
+        .limit(20)
+    )
+
+
+@declare(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
+               AS avg_chars,
+           CAST(SUM(CAST(length(string_split(text, ' ')) AS DECIMAL(25,4)))
+                AS DOUBLE) / COUNT(*) AS avg_ws_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def llm_text_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum(F.col("n_chars").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+        (
+            F.sum(X.ws_token_count(F.col("text")).cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_ws_tokens"),
+    )
+
+
+@declare(
+    "llm_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS q_chars,
+           CAST(length(string_split(text, ' ')) AS INT) AS q_ws_tokens,
+           CAST(length(text) AS DOUBLE) / length(string_split(text, ' '))
+               AS q_chars_per_token,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                AS DOUBLE) / length(text) AS q_punct_ratio,
+           CAST(length(list_intersect(list_distinct(string_split(text, ' ')),
+                ['the', 'and', 'of', 'with', 'fast'])) AS DOUBLE) / 5
+               AS q_stopword_hit_ratio
+    FROM documents
+    """,
+)
+def llm_text_quality(spark, sf_dir):
+    """Per-doc quality features (length/punct/stopword ratios) — the
+    cheap pre-training filters, all codegen expressions."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.quality_features(d, "text").select(
+        "doc_id",
+        "q_chars",
+        "q_ws_tokens",
+        "q_chars_per_token",
+        "q_punct_ratio",
+        "q_stopword_hit_ratio",
+    )
+
+
+@declare(
+    "llm_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(length(regexp_extract_all(text, '{X.BPE_TOKEN_RE}')) AS INT)
+               AS bpe_tokens
+    FROM documents
+    """,
+)
+def llm_token_count_bpe(spark, sf_dir):
+    """Token counting two ways: whitespace and a BPE-ish
+    pre-tokenizer regex (letter runs | digit runs | single marks)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.ws_token_count(F.col("text")).alias("ws_tokens"),
+        X.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: (
+            f"length(list_intersect(toks, "
+            f"[{', '.join(repr(m) for m in markers)}]))"
+        )
+        for lang, markers in X.LANG_MARKERS.items()
+    }
+    langs = list(X.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(lower(text), ' ')) AS toks
+        FROM documents
+    ), sc AS (SELECT doc_id, lang, {scores_sql} FROM s)
+    SELECT doc_id, lang AS actual_lang, {case} AS predicted_lang,
+           ({case}) = lang AS lang_match
+    FROM sc
+    """
+
+
+@declare("llm_text_langid", oracle=_langid_oracle())
+def llm_text_langid(spark, sf_dir):
+    """Heuristic language ID: marker-lexicon hit-count argmax
+    (deterministic tiebreak by language order) vs the labeled lang.
+    Oracle SQL is generated from the same lexicon table."""
+    d = t(spark, sf_dir, "documents")
+    pred = X.predict_lang("text")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("lang_match"),
+    )
+
+
+@declare(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+                i -> (ascii(substr(text, i, 1)) + 1) * i)) % 1000000007
+                AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark, sf_dir):
+    """Order-sensitive positional document fingerprint (Σ(ascii+1)·i
+    mod p) as one higher-order-function fold — content-equal docs
+    collide, any reordering separates."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", X.positional_fingerprint("text").alias("fingerprint")
+    )
+
+
+# --- multimodal columns --------------------------------------------
+
+
+@declare(
+    "llm_multimodal_columns",
+    oracle="""
+    SELECT doc_id AS media_id,
+           (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+           CAST(doc_id % 640 + 1 AS INT) AS width,
+           CAST(doc_id % 480 + 1 AS INT) AS height,
+           sha256(text) AS payload_digest
+    FROM documents
+    """,
+)
+def llm_multimodal_columns(spark, sf_dir):
+    """Multimodal column model: opaque binary payload + typed struct
+    metadata; projection of struct fields + content digest. The
+    payload stays opaque — only small typed fields move."""
+    d = t(spark, sf_dir, "documents")
+    media = M.synthesize_media(d, "doc_id", "text")
+    return media.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.sha2("payload", 256).alias("payload_digest"),
+    )
+
+
+@declare(
+    "llm_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_digest,
+           CAST(doc_id % 640 + 1 AS INT) AS width,
+           CAST(doc_id % 480 + 1 AS INT) AS height,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+                i -> ascii(substr(text, i, 1)))) AS DOUBLE) / length(text)
+               AS feat_mean
+    FROM documents
+    """,
+)
+def llm_multimodal_features(spark, sf_dir):
+    """The full mapInPandas decode path (Arrow batches in/out, stub
+    decoder): byte-level features per media row. The stub is
+    arithmetic on the payload bytes, so the whole Python boundary is
+    still exact-oracle-checkable (ASCII text ⇒ bytes == ascii codes)."""
+    d = t(spark, sf_dir, "documents")
+    media = M.synthesize_media(d, "doc_id", "text")
+    return M.extract_features(media, use_stub=True)

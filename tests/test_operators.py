@@ -1,0 +1,177 @@
+"""Operator-level tests: as-of join semantics, dedup invariants
+(LSH pairs ⊆ exact-Jaccard pairs), similarity recall, text stats,
+multimodal plumbing.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_importer_spark.operators import dedup as D
+from database_importer_spark.operators import multimodal as M
+from database_importer_spark.operators import similarity as S
+from database_importer_spark.operators.asof import asof_join
+
+
+# --- as-of join -----------------------------------------------------
+
+
+def test_asof_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")], "k int, ts int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 6, 300.0)], "k int, rts int, rv double"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", payload=["rv"]
+    )
+    got = {(r["k"], r["ts"]): r["rv"] for r in out.collect()}
+    assert got == {(1, 10): 100.0, (1, 20): 200.0, (2, 5): None}
+
+
+def test_asof_inclusive_tie(spark):
+    """right.ts == left.ts matches (backward-inclusive)."""
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame([(1, 10, 7.0)], "k int, rts int, rv double")
+    out = asof_join(left, right, ["k"], "ts", "rts", ["rv"])
+    assert out.collect()[0]["rv"] == 7.0
+
+
+def test_asof_right_tiebreak(spark):
+    """Equal (key, ts) on the right: highest tiebreak wins."""
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 9, 1, 10.0), (1, 9, 2, 20.0)], "k int, rts int, rid int, rv double"
+    )
+    out = asof_join(left, right, ["k"], "ts", "rts", ["rv"], right_tiebreak="rid")
+    assert out.collect()[0]["rv"] == 20.0
+
+
+def test_asof_payload_collision(spark):
+    left = spark.createDataFrame([(1, 10, 1.0)], "k int, ts int, rv double")
+    right = spark.createDataFrame([(1, 9, 2.0)], "k int, rts int, rv double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["k"], "ts", "rts", ["rv"])
+
+
+# --- dedup invariants ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from database_importer_spark.sources.loader import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def test_exact_dedup_finds_planted_dups(spark, docs):
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10**6).alias("doc_id"), "text"
+    )
+    n_planted = planted.count()
+    corpus = docs.unionByName(planted)
+    kept = D.exact_dedup(corpus, "text", "doc_id")
+    assert kept.count() == docs.count()  # one representative per text
+    assert kept.filter(F.col("n_copies") == 2).count() == n_planted
+    # representative is always the smallest id (the original)
+    assert kept.filter(F.col("doc_id") >= 10**6).count() == 0
+
+
+def test_lsh_pairs_subset_of_exact(spark, docs):
+    """LSH is a recall filter: after exact-Jaccard verify, its pairs
+    must be a subset of the full exact-Jaccard pair set at the same
+    threshold (no false positives survive)."""
+    thresh = 0.3
+    lsh = set(
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dups(docs, "text", "doc_id", threshold=thresh).collect()
+    )
+    sh = D.shingles(docs, "text", 3)
+    all_pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+    )
+    exact = set(
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(sh, "doc_id", all_pairs)
+        .filter(F.col("jaccard") >= thresh)
+        .collect()
+    )
+    assert lsh <= exact
+    # and on this corpus the planted near-dups are actually found
+    assert len(lsh) > 0
+
+
+def test_simhash_identical_texts_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "spark query engine fast"), (2, "spark query engine fast"),
+         (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["simhash64"] for r in D.simhash(df, "text", "doc_id").collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+# --- similarity -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from database_importer_spark.sources.loader import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_cosine_topk_shape(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    out = S.cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["corpus_id"] != r["query_id"]
+        assert -1.0001 <= r["cosine"] <= 1.0001
+    for rows in by_q.values():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_lsh_topk_recall(spark, emb):
+    """Bucketed ANN with few planes reaches decent recall of the
+    exact top-5 (same-bucket probability for near vectors is high)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in S.cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["corpus_id"])
+        for r in S.lsh_topk(emb, q, "vec_id", "embedding", k=5, num_planes=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3  # 2 planes → 4 buckets → ~25% chance baseline
+
+
+# --- multimodal -----------------------------------------------------
+
+
+def test_multimodal_stub_features(spark, docs):
+    media = M.synthesize_media(docs.limit(10), "doc_id", "text")
+    feats = M.extract_features(media, use_stub=True)
+    rows = feats.collect()
+    assert len(rows) == 10
+    joined = {r["media_id"]: r for r in rows}
+    for r in media.collect():
+        f = joined[r["media_id"]]
+        assert f["n_bytes"] == len(bytes(r["payload"]))
+        assert f["kind"] in ("image", "audio", "video")
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError, match="decode"):
+        M.decode_real(b"\x00", "image")
