@@ -1,0 +1,86 @@
+"""Bench harness (BASELINE.md protocol): headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], warm session, median of 3, full
+materialization through the noop sink (no driver collect cost, no
+column-pruning shortcut a bare count() would allow).
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {key: sec}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from database_importer_spark import get_spark  # noqa: E402
+from database_importer_spark.plans import REGISTRY  # noqa: E402
+
+# Headline set: the flagship merge + the heaviest representative of
+# each capability family (join, agg, window, sort, asof, dedup,
+# similarity, text, streaming, UDF-boundary).
+HEADLINE = [
+    "upsert_merge_full",
+    "join_shuffle_sortmerge",
+    "join_broadcast_hash",
+    "join_asof_nearest",
+    "agg_hash_groupby",
+    "agg_count_distinct",
+    "win_rank_topk_per_group",
+    "win_running_sum_rows",
+    "limit_topk_global",
+    "fn_math_core",
+    "llm_dedup_exact",
+    "llm_similarity_topk",
+    "llm_text_tokenize_tf",
+    "llm_fingerprint",
+    "stream_tumbling_window",
+    "udf_pandas_vectorized",
+]
+
+RUNS = 3
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+    for key in HEADLINE:
+        q = REGISTRY[key]
+        # warm-up run builds file indexes / JIT; then timed runs
+        materialize(q.fn(spark, sf_dir))
+        times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            materialize(q.fn(spark, sf_dir))
+            times.append(time.perf_counter() - t0)
+        results[key] = round(statistics.median(times), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": round(sum(results.values()), 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

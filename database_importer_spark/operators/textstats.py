@@ -84,8 +84,11 @@ def positional_fingerprint(text_col: str, modulus: int = 1_000_000_007) -> Colum
     characters, mod p — an order-sensitive rolling digest computable
     as one higher-order-function fold, with an exact SQL twin.
     (Content-equal ⇒ equal; reordering changes it, unlike a bag hash.)"""
+    # 2-arg transform lambda receives (element, 0-based index) — one
+    # linear pass; substring(text, i, 1) per index would rescan the
+    # string per char (quadratic on long docs).
     return F.expr(
-        f"aggregate(transform(sequence(1, length({text_col})), "
-        f"i -> (ascii(substring({text_col}, i, 1)) + 1) * cast(i as bigint)), "
+        f"aggregate(transform(split({text_col}, ''), "
+        f"(c, i) -> (ascii(c) + 1) * cast(i + 1 as bigint)), "
         f"cast(0 as bigint), (acc, x) -> acc + x) % {modulus}"
     )

@@ -1,1 +1,93 @@
-"""Placeholder — filled in as coverage widens."""
+"""Declared streaming queries (SURVEY.md §2 B.9): bounded
+deterministic replay of each Structured Streaming op, oracle = the
+batch SQL twin on the same events table (stream run to completion on
+bounded input ≡ batch result).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from database_importer_spark.plans.registry import declare
+from database_importer_spark.streaming import windows as W
+
+
+@declare(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    ev = W.read_events_stream(spark, sf_dir)
+    return W.run_bounded(W.tumbling_counts(ev), "complete")
+
+
+@declare(
+    "stream_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - k.k * INTERVAL '15 minutes' AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """1h/15min sliding windows; batch twin generates each event's 4
+    slide starts explicitly (epoch-aligned buckets, like Spark's)."""
+    ev = W.read_events_stream(spark, sf_dir)
+    return W.run_bounded(W.sliding_counts(ev), "complete")
+
+
+@declare(
+    "stream_session_window",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Gap-based session windows per user; batch twin is classic
+    lag+cumsum sessionization (session end = last event + gap,
+    matching Spark's session_window.end)."""
+    ev = W.read_events_stream(spark, sf_dir)
+    return W.run_bounded(W.session_windows(ev), "complete")
+
+
+@declare(
+    "stream_stateful_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_stateful_dedup(spark, sf_dir):
+    """dropDuplicatesWithinWatermark projected to its key — on
+    bounded replay ≡ batch DISTINCT over the key."""
+    ev = W.read_events_stream(spark, sf_dir)
+    return W.run_bounded(W.stateful_dedup(ev), "append")
+
+
+@declare("stream_late_data", oracle=None)
+def stream_late_data(spark, sf_dir):
+    """Watermark drop semantics under a 2-batch replay (bulk, then
+    stragglers): late rows beyond the watermark are excluded.
+    Timing/batch-boundary-dependent → rows-only."""
+    return W.late_data_replay(spark, sf_dir, tempfile.gettempdir())

@@ -1,1 +1,124 @@
-"""Placeholder — filled in as coverage widens."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2 B.11), each with an exact
+DuckDB twin where the logic is SQL-expressible.
+
+The ordering of preference at scale (SURVEY §4.4): built-in
+expression > pandas_udf (Arrow-vectorized) > applyInPandas (grouped
+Arrow) > row-at-a-time @udf (the slow path — declared here exactly
+once, for capability parity with scalar Python logic like the
+reference's identifier quoting)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from database_importer_spark.functions.identifiers import quote_identifier
+from database_importer_spark.plans.registry import declare, t
+
+
+@declare(
+    "udf_python_scalar",
+    oracle="""
+    SELECT p_partkey,
+           '[' || replace(p_brand, ']', ']]') || ']' AS quoted_brand
+    FROM part
+    """,
+)
+def udf_python_scalar(spark, sf_dir):
+    """Row-at-a-time Python UDF: the reference's quote_identifier
+    (util.py:135-143) lifted to a column function. Deliberately the
+    slow path — kept off hot paths; here it runs over the small part
+    dim only."""
+    quote = F.udf(quote_identifier, StringType())
+    p = t(spark, sf_dir, "part")
+    return p.select("p_partkey", quote("p_brand").alias("quoted_brand"))
+
+
+@declare(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS discounted
+    FROM lineitem
+    """,
+)
+def udf_pandas_vectorized(spark, sf_dir):
+    """Arrow-vectorized pandas_udf: whole columns cross the Python
+    boundary as Arrow batches (~10-100x over row-at-a-time). The
+    numpy float64 math is the same IEEE ops as the SQL twin — exact."""
+
+    @F.pandas_udf("double")
+    def discounted(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted("l_extendedprice", "l_discount").alias("discounted"),
+    )
+
+
+@declare(
+    "udaf_applyInPandas",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           quantile_cont(c_acctbal, 0.5) AS median_acctbal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def udaf_applyInPandas(spark, sf_dir):
+    """Grouped-map UDAF: per-nation median via applyInPandas — one
+    Arrow batch per group, shuffle on the group key only. pandas'
+    interpolated median ≡ quantile_cont(0.5) (selection + one exact
+    IEEE mean for even counts) — exact twin."""
+
+    def group_median(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": [pdf["c_nationkey"].iloc[0]],
+                "n_customers": [len(pdf)],
+                "median_acctbal": [pdf["c_acctbal"].median()],
+            }
+        )
+
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").applyInPandas(
+        group_median,
+        "c_nationkey int, n_customers bigint, median_acctbal double",
+    )
+
+
+@declare(
+    "udtf_explode_custom",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, length(l) - 1),
+                  i -> l[i] || ' ' || l[i + 1])) AS bigram
+    FROM toks
+    """,
+)
+def udtf_explode_custom(spark, sf_dir):
+    """Python UDTF (Spark 4 @udtf) expanding each document into its
+    word bigrams via a SQL lateral join — the custom row-generator
+    surface. (The built-in-only equivalent is transform+explode; the
+    UDTF form is declared for arbitrary Python generators.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, bigram string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield doc_id, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("dbis_bigrams", Bigrams)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("dbis_docs_for_udtf")
+    return spark.sql(
+        "SELECT b.doc_id, b.bigram FROM dbis_docs_for_udtf, "
+        "LATERAL dbis_bigrams(doc_id, text) b"
+    )

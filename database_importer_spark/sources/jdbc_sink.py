@@ -1,0 +1,166 @@
+"""JDBC staged-merge sink (SURVEY.md §4.3) — the reference's
+server-side data plane (dbimport/importer.py:263-359) generalized to
+Spark scale.
+
+Spark has no native JDBC MERGE (Delta/Iceberg only), so the engine
+replicates the reference's protocol:
+
+  1. stage: ``df.write.jdbc(mode=append, batchsize=5000)`` into a
+     staging table — executors open per-partition connections and
+     array-bind 5,000-row batches (the scale-out analogue of the
+     reference's single-connection chunk loop, importer.py:253-261
+     + fast_executemany :298).
+  2. merge: ONE set-based statement executed server-side over a
+     single driver connection — UPDATE..FROM..JOIN (mssql) or a
+     correlated-subquery UPDATE (sqlite) plus the INSERT..anti-join
+     half the reference left NotImplemented.
+  3. cleanup: idempotent staging drop (before and after, like
+     importer.py:301/:309).
+
+Improvement over the reference: the merge statement runs in one
+server transaction (atomic visibility), and the staging table name is
+unique per run (idempotent retries) — importer.py:261 commits per
+chunk, exposing partial state.
+
+SQL generation is pure (unit-testable without a server); execution
+requires a JDBC driver jar on the classpath and is gated behind
+``require_jdbc``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+BATCH_SIZE = 5000  # reference parity: importer.py:14
+
+_QUOTERS = {
+    "mssql": lambda s: "[" + s.replace("]", "]]") + "]",
+    "sqlite": lambda s: '"' + s.replace('"', '""') + '"',
+}
+
+
+@dataclass
+class MergePlan:
+    """The full server-side statement set for one staged merge."""
+
+    dialect: str
+    target: str
+    staging: str
+    drop_staging: str
+    create_staging: str
+    update: str | None
+    insert: str | None
+    drop_staging_after: str
+
+
+def build_merge_plan(
+    table: str,
+    join_on: list[str],
+    subset: list[str],
+    dialect: str = "mssql",
+    schema: str | None = None,
+    update: bool = True,
+    insert: bool = True,
+    run_id: str = "spark",
+) -> MergePlan:
+    """Generate the staged-merge SQL for a dialect. Mirrors the
+    reference's statement shapes (importer.py:41-51, :312-356) and
+    completes the insert half (:361-362)."""
+    if dialect not in _QUOTERS:
+        raise ValueError(
+            "unsupported dialect, use available: %s"
+            % ", ".join(f"'{d}'" for d in sorted(_QUOTERS))
+        )
+    if not (update or insert):
+        raise ValueError("at least one action must be performed")
+    q = _QUOTERS[dialect]
+    if dialect == "mssql":
+        schema = schema or "dbo"
+        target = f"{q(schema)}.{q(table)}"
+        staging = f"{q('#dbis_staging_' + run_id)}"
+    else:
+        target = q(table) if not schema else f"{q(schema)}.{q(table)}"
+        staging = q(f"temp_dbis_staging_{run_id}")
+
+    cols = join_on + subset
+    col_list = ", ".join(q(c) for c in cols)
+
+    if dialect == "mssql":
+        drop = (
+            f"IF OBJECT_ID('tempdb..#dbis_staging_{run_id}') IS NOT NULL "
+            f"DROP TABLE {staging}"
+        )
+        create = f"SELECT TOP 0 {col_list} INTO {staging} FROM {target}"
+    else:
+        drop = f"DROP TABLE IF EXISTS {staging}"
+        create = (
+            f"CREATE TEMP TABLE {staging} AS "
+            f"SELECT {col_list} FROM {target} LIMIT 0"
+        )
+
+    on = " AND ".join(f"a.{q(k)} = b.{q(k)}" for k in join_on)
+    update_sql = None
+    if update:
+        if dialect == "mssql":
+            sets = ", ".join(f"a.{q(c)} = b.{q(c)}" for c in subset)
+            update_sql = (
+                f"UPDATE a SET {sets} FROM {target} a "
+                f"INNER JOIN {staging} b ON {on}"
+            )
+        else:
+            sets = ", ".join(
+                f"{q(c)} = (SELECT b.{q(c)} FROM {staging} b WHERE "
+                + " AND ".join(f"b.{q(k)} = {target}.{q(k)}" for k in join_on)
+                + ")"
+                for c in subset
+            )
+            exists_on = " AND ".join(f"b.{q(k)} = {target}.{q(k)}" for k in join_on)
+            update_sql = (
+                f"UPDATE {target} SET {sets} WHERE EXISTS "
+                f"(SELECT 1 FROM {staging} b WHERE {exists_on})"
+            )
+
+    insert_sql = None
+    if insert:
+        anti_on = " AND ".join(f"a.{q(k)} = b.{q(k)}" for k in join_on)
+        insert_sql = (
+            f"INSERT INTO {target} ({col_list}) "
+            f"SELECT {col_list} FROM {staging} b "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {target} a WHERE {anti_on})"
+        )
+
+    return MergePlan(
+        dialect=dialect,
+        target=target,
+        staging=staging,
+        drop_staging=drop,
+        create_staging=create,
+        update=update_sql,
+        insert=insert_sql,
+        drop_staging_after=drop,
+    )
+
+
+def stage_dataframe(
+    df: DataFrame, url: str, staging_table: str, properties: dict | None = None
+) -> None:
+    """Stage via Spark's JDBC writer: per-partition connections,
+    5,000-row array-bound batches — the distributed version of the
+    reference's chunk loop."""
+    (
+        df.write.mode("append")
+        .option("batchsize", BATCH_SIZE)
+        .jdbc(url, staging_table, properties=properties or {})
+    )
+
+
+def require_jdbc(spark) -> bool:
+    """True if a JDBC driver is reachable; execution paths gate on
+    this (this container ships no driver jars)."""
+    try:
+        spark._jvm.java.lang.Class.forName("java.sql.DriverManager")
+        return True
+    except Exception:
+        return False

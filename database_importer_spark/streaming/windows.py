@@ -1,0 +1,180 @@
+"""Structured Streaming operators (SURVEY.md §2 B.9) over the events
+table: tumbling / sliding / session windows, stateful dedup, late-data
+handling.
+
+Test/oracle strategy (SURVEY.md §5.2): every streaming op is run as a
+*bounded deterministic replay* — a file-source stream over the same
+parquet the batch twin reads, ``trigger(availableNow=True)``, memory
+sink — so running the stream to completion must produce exactly the
+batch-twin result, and the DuckDB oracle checks it like any batch
+query.
+
+Scale design: watermarks bound state (late rows beyond the watermark
+are dropped, state for closed windows is evicted); groupBy(window,
+key) shuffles on (window, key) like any agg; session windows merge
+per key. The same plans run unchanged against kafka/file sources on
+a real cluster — only the source/sink change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# events parquet physical schema with nanosAsLong on (ts is stored as
+# TIMESTAMP(NANOS) → surfaces as bigint; normalized after read).
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+_QCOUNTER = [0]
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory*; stage one with
+    a symlink to the (read-only) events parquet."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"dbis_events_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with ts normalized to a
+    µs timestamp (same truncation as the batch loader)."""
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_events_stream_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_bounded(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion on its bounded source
+    (availableNow) into a memory sink; return the final table.
+
+    Stateful streaming cost scales with state-store *partitions*, not
+    data: each shuffle partition opens/commits its own store per
+    batch. The replay temporarily drops shuffle partitions to 4 —
+    on a real cluster you size this to stateful-key cardinality."""
+    spark = sdf.sparkSession
+    _QCOUNTER[0] += 1
+    name = f"dbis_stream_{_QCOUNTER[0]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event_type with a 10-minute
+    watermark: count + exact-decimal sum. Watermark bounds state; on
+    bounded replay (complete mode) every window emits."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes: each event lands in 4
+    windows (Expand), aggregated per (window, type)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-merged): start = first event,
+    end = last event + gap. State is one open session per user,
+    closed by the watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stateful_dedup(events: DataFrame) -> DataFrame:
+    """Streaming dedup within the watermark horizon: first arrival
+    wins, state evicted past the watermark. Output projected to the
+    dedup key so the result is deterministic."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def late_data_replay(
+    spark: SparkSession, sf_dir: str, tmp_dir: str
+) -> DataFrame:
+    """Late-data semantics demo: split events into 2 files streamed
+    one per micro-batch (maxFilesPerTrigger=1) so the watermark
+    advances between batches and genuinely-late rows are dropped
+    from the windowed aggregation. Timing-dependent across engines →
+    rows-only check."""
+    from database_importer_spark.sources.loader import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    split = os.path.join(tmp_dir, "dbis_late_split")
+    # batch 0: the bulk, in ts order; batch 1: a late straggler slice
+    ev.filter(F.col("event_id") % 10 != 0).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(split, "b=0")
+    )
+    ev.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(split, "b=1")
+    )
+    raw = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint, "
+                                "event_type string, value double, props string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(split, "b=*"))
+    )
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return run_bounded(agg, "append")

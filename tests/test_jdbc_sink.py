@@ -1,0 +1,95 @@
+"""Staged-merge SQL generation tests (no server needed) — statement
+shapes mirror the reference's dialect branches
+(/root/reference/dbimport/importer.py:41-51, :312-356) and validate
+the completed insert half.
+"""
+
+import sqlite3
+
+import pytest
+
+from database_importer_spark.sources.jdbc_sink import MergePlan, build_merge_plan
+
+
+def test_mssql_plan_shapes():
+    p = build_merge_plan(
+        "groceries", ["id"], ["quantity", "price"], dialect="mssql", run_id="t1"
+    )
+    assert p.create_staging.startswith("SELECT TOP 0 [id], [quantity], [price] INTO")
+    assert "UPDATE a SET a.[quantity] = b.[quantity], a.[price] = b.[price]" in p.update
+    assert "INNER JOIN" in p.update and "a.[id] = b.[id]" in p.update
+    assert p.insert.startswith("INSERT INTO [dbo].[groceries]")
+    assert "NOT EXISTS" in p.insert
+    assert "OBJECT_ID" in p.drop_staging
+
+
+def test_sqlite_plan_is_correlated_subquery():
+    p = build_merge_plan(
+        "groceries", ["id"], ["price"], dialect="sqlite", run_id="t2"
+    )
+    assert 'CREATE TEMP TABLE "temp_dbis_staging_t2"' in p.create_staging
+    assert "LIMIT 0" in p.create_staging
+    assert "WHERE EXISTS" in p.update
+    assert p.update.count("SELECT") >= 2  # correlated scalar subquery form
+
+
+def test_multi_key_conjunction():
+    p = build_merge_plan("t", ["k1", "k2"], ["v"], dialect="mssql")
+    assert "a.[k1] = b.[k1] AND a.[k2] = b.[k2]" in p.update
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError, match="unsupported dialect"):
+        build_merge_plan("t", ["k"], ["v"], dialect="mysql")
+    with pytest.raises(ValueError, match="at least one action"):
+        build_merge_plan("t", ["k"], ["v"], update=False, insert=False)
+
+
+def test_sqlite_statements_execute_end_to_end():
+    """Golden-row check: run the generated sqlite statements against a
+    real in-memory SQLite with the reference's groceries fixture —
+    the same seed rows and expected outcome as the reference suite
+    (tests/test_importer.py:146-164), via our generated SQL."""
+    conn = sqlite3.connect(":memory:")
+    conn.execute(
+        "CREATE TABLE groceries (id TEXT NOT NULL PRIMARY KEY, item TEXT, "
+        "quantity INT, price REAL)"
+    )
+    conn.executemany(
+        "INSERT INTO groceries VALUES (?, ?, ?, ?)",
+        [
+            ("ID000001", "Apple", 5, 10.0),
+            ("ID000002", "Pear", 4, 9.0),
+            ("ID000003", "Orange", 3, 8.0),
+            ("ID000004", "Lemon", 6, 7.0),
+        ],
+    )
+    p = build_merge_plan(
+        "groceries",
+        ["id"],
+        ["quantity", "price"],
+        dialect="sqlite",
+        update=True,
+        insert=True,
+        run_id="e2e",
+    )
+    conn.execute(p.drop_staging)
+    conn.execute(p.create_staging)
+    conn.executemany(
+        f"INSERT INTO {p.staging} VALUES (?, ?, ?)",
+        [
+            ("ID000001", 15, 20.0),  # update
+            ("ID000009", 42, 1.0),  # insert (new key)
+        ],
+    )
+    conn.execute(p.update)
+    conn.execute(p.insert)
+    conn.execute(p.drop_staging_after)
+    rows = sorted(conn.execute("SELECT id, quantity, price FROM groceries"))
+    assert rows == [
+        ("ID000001", 15, 20.0),
+        ("ID000002", 4, 9.0),
+        ("ID000003", 3, 8.0),
+        ("ID000004", 6, 7.0),
+        ("ID000009", 42, 1.0),
+    ]
