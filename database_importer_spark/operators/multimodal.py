@@ -77,6 +77,59 @@ def decode_stub(payload: bytes, kind: str) -> dict:
     }
 
 
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize over Arrow batches. Decode/re-encode is stubbed
+    (no PIL in this container): payload passes through, metadata is
+    rewritten to the target dims — the schema/partitioning/batch
+    plumbing is the real deliverable; swap ``_resize_stub`` for a PIL
+    call to go live."""
+
+    def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+        return payload  # real impl: PIL.Image.open(...).resize((w, h))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                _resize_stub(bytes(p), width, height) for p in pdf["payload"]
+            ]
+            out["meta"] = [
+                {**m, "width": width, "height": height} for m in pdf["meta"]
+            ]
+            yield out
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame index.
+    Frame decode is stubbed (frame payload = content digest bytes);
+    the row-expansion shape (1 video → n_frames/every_n rows) and
+    per-frame schema are real."""
+    out_schema = (
+        "media_id bigint, frame_index int, frame_payload binary"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for _, row in pdf.iterrows():
+                n_frames = row["meta"]["n_frames"]
+                for i in range(0, n_frames, every_n):
+                    ids.append(row["media_id"])
+                    idxs.append(i)
+                    payloads.append(
+                        hashlib.sha256(bytes(row["payload"]) + bytes([i % 256])).digest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame_payload": payloads}
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(run, out_schema)
+
+
 def extract_features(media: DataFrame, use_stub: bool = True) -> DataFrame:
     """Map-only feature extraction over Arrow batches. One pandas
     batch in, one out — no shuffle, payloads never leave their

@@ -377,6 +377,74 @@ def null_normalize(spark, sf_dir):
     )
 
 
+_TYPE_CANON_SQL = """
+    CASE lower(data_type)
+        WHEN 'bigint' THEN 'bigint'
+        WHEN 'integer' THEN 'int'
+        WHEN 'varchar' THEN 'string'
+        WHEN 'double' THEN 'double'
+        WHEN 'timestamp' THEN 'timestamp'
+        WHEN 'float[]' THEN 'array<float>'
+        ELSE lower(data_type)
+    END
+"""
+
+
+def _canon_spark_type(simple: str) -> str:
+    # Spark spells parquet timestamps timestamp_ntz / ns-normalized
+    # ones timestamp; both are 'timestamp' canonically
+    return {"timestamp_ntz": "timestamp"}.get(simple, simple)
+
+
+@declare(
+    "src_catalog_columns",
+    oracle=f"""
+    SELECT table_name, CAST(ordinal_position AS INT) AS ordinal,
+           column_name, {_TYPE_CANON_SQL} AS canonical_type
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    """,
+)
+def src_catalog_columns(spark, sf_dir):
+    """Full-database column-catalog scan ordered by ordinal position —
+    the reference's INFORMATION_SCHEMA.COLUMNS walk (util.py:31-76),
+    built from df.schema metadata (pure plan-time; no data read).
+    Type names canonicalized to one spelling on both engines."""
+    from database_importer_spark.sources.loader import load_tables
+
+    rows = []
+    for name, df in load_tables(spark, sf_dir).items():
+        for i, f in enumerate(df.schema.fields, start=1):
+            rows.append(
+                (name, i, f.name, _canon_spark_type(f.dataType.simpleString()))
+            )
+    return spark.createDataFrame(
+        rows, "table_name string, ordinal int, column_name string, canonical_type string"
+    )
+
+
+@declare(
+    "src_table_columns",
+    oracle=f"""
+    SELECT CAST(ordinal_position AS INT) AS ordinal, column_name,
+           {_TYPE_CANON_SQL} AS canonical_type
+    FROM information_schema.columns WHERE table_name = 'orders'
+    """,
+)
+def src_table_columns(spark, sf_dir):
+    """Ordered column list of one table (importer.py:30-39) —
+    ``df.schema`` walk, the engine's DESCRIBE."""
+    o = t(spark, sf_dir, "orders")
+    rows = [
+        (i, f.name, _canon_spark_type(f.dataType.simpleString()))
+        for i, f in enumerate(o.schema.fields, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, "ordinal int, column_name string, canonical_type string"
+    )
+
+
 @declare(
     "candidate_key_composite",
     oracle="""

@@ -175,3 +175,19 @@ def test_multimodal_stub_features(spark, docs):
 def test_multimodal_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError, match="decode"):
         M.decode_real(b"\x00", "image")
+
+
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    media = M.synthesize_media(docs.limit(30), "doc_id", "text")
+    resized = M.resize_images(media, 224, 224)
+    for r in resized.collect():
+        assert r["kind"] == "image"
+        assert r["meta"]["width"] == 224 and r["meta"]["height"] == 224
+    frames = M.sample_frames(media, every_n=10).collect()
+    vids = {r["media_id"]: r for r in media.filter("kind = 'video'").collect()}
+    assert len(frames) == sum(
+        len(range(0, v["meta"]["n_frames"], 10)) for v in vids.values()
+    )
+    for f in frames:
+        assert f["media_id"] in vids
+        assert len(bytes(f["frame_payload"])) == 32
