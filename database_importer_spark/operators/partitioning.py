@@ -1,0 +1,80 @@
+"""Partitioning strategies for scale (SURVEY.md §4.4): salted joins
+for skewed keys, bucketed tables for shuffle-free co-located joins,
+and join-aligned repartitioning.
+
+These are the knobs the 100 TB mandate names explicitly: AQE's skew
+split handles most skew at runtime; salting is the static fallback
+when one key dominates so hard that even split subpartitions of it
+overwhelm a task. Bucketing removes the shuffle from *recurring*
+large⨝large joins by persisting both sides pre-hashed on the join
+key (the persistent-layout analogue of the reference's server-side
+staging table, importer.py:268-291 — co-locate once, join many times).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SALT = "__dbis_salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi join: the big side gets a deterministic
+    per-row salt (hash of the full row — content-stable, no rand()),
+    the small side is replicated once per salt value, and the join
+    key becomes (keys + salt). A key holding p% of the big side now
+    spreads over ``salt_buckets`` tasks; the small side grows
+    ×salt_buckets, which is the explicit cost — only use when the
+    small side is comfortably broadcast/replication-sized.
+
+    Result is row-identical to ``big.join(small, on, how)``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salted_big = big.withColumn(
+        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    )
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(salt_buckets)])
+    ).alias(SALT)
+    replicated_small = small.select("*", salts)
+    out = salted_big.join(replicated_small, on=on + [SALT], how=how)
+    return out.drop(SALT)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist a table pre-hash-partitioned (and sorted) on its join
+    keys. Two tables bucketed the same way join with NO exchange and
+    (if sorted) no sort — scan → zip partitions → merge."""
+    w = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how="inner"
+) -> DataFrame:
+    """Join two same-bucketed tables — Catalyst recognizes the
+    co-partitioning from the catalog and plans a shuffle-free SMJ."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def repartition_for_join(df: DataFrame, keys: list[str], partitions: int) -> DataFrame:
+    """Pre-shuffle once on the join keys so several downstream joins/
+    aggs on the same keys reuse one Exchange (Catalyst reuses a
+    matching output partitioning instead of re-shuffling)."""
+    return df.repartition(partitions, *[F.col(k) for k in keys])

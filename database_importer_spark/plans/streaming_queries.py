@@ -91,3 +91,25 @@ def stream_late_data(spark, sf_dir):
     stragglers): late rows beyond the watermark are excluded.
     Timing/batch-boundary-dependent → rows-only."""
     return W.late_data_replay(spark, sf_dir, tempfile.gettempdir())
+
+
+@declare(
+    "stream_custom_stateful",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_custom_stateful(spark, sf_dir):
+    """applyInPandasWithState custom stateful operator: per-user
+    running totals. On single-batch bounded replay the final state ≡
+    batch GROUP BY (n_batches projected away; its =1 invariant is
+    asserted in tests). State accumulates in 4-dp fixed point —
+    exact, order-independent, identical to the DECIMAL(25,4) twin."""
+    from database_importer_spark.streaming.stateful import running_user_totals
+
+    ev = W.read_events_stream(spark, sf_dir)
+    out = W.run_bounded(running_user_totals(ev), "update")
+    return out.select("user_id", "n_events", "sum_value")

@@ -61,6 +61,11 @@ def get_spark(
         # same truncation DuckDB applies, so oracles agree.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # keep managed-table data (bucketed layouts) out of the repo
+        .config("spark.sql.warehouse.dir", "/tmp/dbis_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/dbis_derby"
+        )
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

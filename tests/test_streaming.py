@@ -1,0 +1,92 @@
+"""Streaming tests: bounded replay ≡ batch twin (in-Spark), and
+multi-batch state persistence for the custom stateful operator.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_importer_spark.sources.loader import load_table
+from database_importer_spark.streaming import windows as W
+from database_importer_spark.streaming.stateful import running_user_totals
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_tumbling_equals_batch(spark, sf_dir, events_batch):
+    stream = W.run_bounded(
+        W.tumbling_counts(W.read_events_stream(spark, sf_dir)), "complete"
+    )
+    batch = events_batch.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_session_window_gap_merging(spark, sf_dir):
+    out = W.run_bounded(
+        W.session_windows(W.read_events_stream(spark, sf_dir)), "complete"
+    ).collect()
+    assert len(out) > 0
+    # sessions per user never overlap and end = last event + gap ≥ start + gap
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sessions in by_user.values():
+        sessions.sort(key=lambda r: r["session_start"])
+        for a, b in zip(sessions, sessions[1:]):
+            assert a["session_end"] <= b["session_start"]
+
+
+def test_stateful_multi_batch_accumulation(spark, sf_dir, tmp_path):
+    """State persists across micro-batches: stream the events in two
+    files (one per trigger); the last emitted row per user carries
+    the cross-batch totals and n_batches reflects arrivals."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    split = str(tmp_path / "split")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(split, "p=0")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(split, "p=1")
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(split, "p=*"))
+    )
+    out = W.run_bounded(running_user_totals(stream), "update")
+    # last update per user = row with max n_batches
+    final = {
+        r["user_id"]: r
+        for r in out.orderBy("user_id", "n_batches").collect()
+    }
+    expected = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, row in final.items():
+        assert row["n_events"] == expected[uid]["n"]
+        assert row["n_batches"] >= 1
+
+
+def test_late_data_rows_dropped(spark, sf_dir, tmp_path):
+    """The 2-batch late replay drops some rows vs the batch total
+    (stragglers beyond the watermark are excluded)."""
+    out = W.late_data_replay(spark, sf_dir, str(tmp_path))
+    streamed = out.agg(F.sum("n_events")).collect()[0][0]
+    total = load_table(spark, sf_dir, "events").count()
+    assert streamed <= total
