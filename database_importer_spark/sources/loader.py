@@ -85,6 +85,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return tables
 
 
+def list_sources(spark: SparkSession) -> dict[str, list[str]]:
+    """Enumerate available data sources — the engine's analogue of the
+    reference's DSN enumeration (window.py:201 pyodbc.dataSources()):
+    catalog databases and the tables/views visible in each."""
+    out: dict[str, list[str]] = {}
+    for db in spark.catalog.listDatabases():
+        out[db.name] = sorted(
+            t.name for t in spark.catalog.listTables(db.name)
+        )
+    return out
+
+
 def ingest_excel(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """Whole-workbook ingest: every sheet → one DataFrame.
 

@@ -215,3 +215,13 @@ def test_candidate_key_check(spark, groceries):
         groceries
     )
     assert candidate_key_check(with_null, ["id"]) is False
+
+
+def test_list_sources(spark):
+    from database_importer_spark.sources.loader import list_sources
+
+    spark.range(1).createOrReplaceTempView("dbis_dsn_probe")
+    out = list_sources(spark)
+    assert "default" in out
+    assert "dbis_dsn_probe" in out["default"]
+    spark.catalog.dropTempView("dbis_dsn_probe")
