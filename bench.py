@@ -27,6 +27,9 @@ from database_importer_spark.plans import REGISTRY  # noqa: E402
 # similarity, text, streaming, UDF-boundary).
 HEADLINE = [
     "upsert_merge_full",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
     "join_shuffle_sortmerge",
     "join_broadcast_hash",
     "join_asof_nearest",

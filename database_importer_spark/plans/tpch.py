@@ -1,0 +1,276 @@
+"""TPC-H-adapted query suite over the testdata star schema — the
+classic multi-join/agg shapes, adapted to the available columns
+(SURVEY.md §2 B.3/B.4 closure evidence; Q1 already lives as
+`agg_hash_groupby`).
+
+Scale notes: every query follows the broadcast-dims /
+shuffle-on-fact-keys discipline; revenue aggregates use DECIMAL
+accumulation cast to double (order-independent, oracle-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_importer_spark.plans.registry import DEC, declare, t
+
+def REV():
+    # Column construction needs an active SparkContext → lazy
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+
+
+REV_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))"
+
+
+@declare(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-03-15'
+      AND l.l_shipdate > TIMESTAMP '1999-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    """Q3: top unshipped orders by revenue for one segment. Fact⨝fact
+    on orderkey; the filtered customer side reduces before joining."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(REV()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@declare(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    """Q4 adapted (ship lag > 60 days stands in for commit/receipt):
+    EXISTS → left-semi join with the non-equi conjunct as residual."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@declare(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    """Q5: six-way star join — facts shuffle on their keys once,
+    nation/region broadcast, the c_nationkey = s_nationkey residual
+    rides the supplier join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(REV()).cast("double").alias("revenue"))
+    )
+
+
+@declare(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,4)))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    """Q6: pure scan+filter+agg — every predicate pushes to parquet;
+    at 100 TB this reads only matching row groups of 4 columns."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@declare(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-07-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    """Q10: top customers by returned-item revenue."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-07-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(REV()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@declare(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN {REV_SQL} ELSE CAST(0 AS DECIMAL(25,4)) END)
+           AS DOUBLE)
+           / CAST(SUM({REV_SQL}) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l.l_shipdate < TIMESTAMP '1999-02-01'
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    """Q14: promo revenue share — conditional aggregation over a
+    broadcast part join."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-02-01").cast("timestamp"))
+    )
+    p = F.broadcast(t(spark, sf_dir, "part"))
+    promo = F.when(F.col("p_type") == "PROMO", REV()).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(promo).cast("double"))
+                / F.sum(REV()).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@declare(
+    "tpch_q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(25,4))) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(25,4))) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    """Q18: large-volume orders — aggregate-then-join (the HAVING
+    subquery reduces the fact side before any join)."""
+    l = t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
