@@ -422,3 +422,55 @@ def llm_multimodal_features(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     media = M.synthesize_media(d, "doc_id", "text")
     return M.extract_features(media, use_stub=True)
+
+
+@declare(
+    "llm_tfidf_topk",
+    oracle="""
+    WITH N AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    tok AS (
+        SELECT doc_id, t.term
+        FROM documents, unnest(list_distinct(string_split(lower(text), ' '))) AS t(term)
+    ),
+    df AS (SELECT term, COUNT(*)::DOUBLE AS doc_freq FROM tok GROUP BY term),
+    tf AS (
+        SELECT t.term, CAST(COUNT(*) AS BIGINT) AS term_count
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+        GROUP BY t.term
+    )
+    SELECT tf.term, tf.term_count,
+           CAST(df.doc_freq AS BIGINT) AS doc_freq,
+           ROUND(tf.term_count * ln((SELECT n FROM N) / df.doc_freq), 6) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term
+    ORDER BY tfidf DESC, tf.term LIMIT 25
+    """,
+)
+def llm_tfidf_topk(spark, sf_dir):
+    """Corpus TF-IDF top-25: collection TF × ln(N/df). Two aggregates
+    over the token explode (term counts; per-doc-distinct counts),
+    joined — both shuffles carry (term, count) pairs only. ROUND(6)
+    guards ln() (libm-dependent last-ulp)."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
+    df = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    return (
+        tf.join(df, "term")
+        .select(
+            "term",
+            "term_count",
+            "doc_freq",
+            F.round(
+                F.col("term_count")
+                * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+                6,
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "term")
+        .limit(25)
+    )

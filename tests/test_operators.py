@@ -191,3 +191,31 @@ def test_multimodal_resize_and_frame_sample(spark, docs):
     for f in frames:
         assert f["media_id"] in vids
         assert len(bytes(f["frame_payload"])) == 32
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from database_importer_spark.operators.packing import pack_sequences
+    from database_importer_spark.sources.loader import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    max_tokens = 1000
+    packed = pack_sequences(docs, "doc_id", "n_chars", max_tokens).collect()
+    n_docs = docs.count()
+    # every doc packed exactly once
+    assert len(packed) == n_docs
+    assert len({r["doc_id"] for r in packed}) == n_docs
+    # no bin over capacity (no oversized docs in this data) and
+    # bin_fill consistent with membership
+    sizes = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    by_bin = {}
+    for r in packed:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for bin_id, rows in by_bin.items():
+        total = sum(sizes[r["doc_id"]] for r in rows)
+        assert total <= max_tokens
+        assert all(r["bin_fill"] == total for r in rows)
+    # packing actually packs: fewer bins than docs
+    assert len(by_bin) < n_docs
+    # deterministic across runs
+    again = pack_sequences(docs, "doc_id", "n_chars", max_tokens).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))

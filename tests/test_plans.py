@@ -124,3 +124,29 @@ def test_exact_dedup_shuffles_digest_not_payload(spark):
         s for s in plan.split("\n\n") if s.startswith("(") and "Exchange" in s
     ]
     assert plan.count("HashAggregate") >= 2
+
+
+def test_merge_large_source_degrades_to_smj(spark):
+    """broadcast=False: the merge becomes a shuffle join (sort-merge /
+    shuffled-hash) — the graceful path when the update source is too
+    large to broadcast."""
+    from database_importer_spark.operators.merge import Merger
+    from database_importer_spark.plans.registry import t as load
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        target = load(spark, SF, "orders")
+        updates = target.selectExpr(
+            "o_orderkey", "o_totalprice + 1.0 AS o_totalprice"
+        )
+        m = Merger(target, updates, join_on=["o_orderkey"], broadcast=False)
+        plan = m.merged(update=True)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BroadcastHashJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
