@@ -209,6 +209,40 @@ class Merger:
         """The validated, projected, key-filtered update source."""
         return self._data
 
+    def cast_warnings(self) -> list[tuple[str, str, str]]:
+        """Pre-flight lossy-cast lint over (source, target) schema
+        pairs — the engine's version of the reference GUI's yellow
+        cells (window.py:410-415): warnings, never errors. Returns
+        [(column, canonical_source_type, target_type)]."""
+        from database_importer_spark.functions.typesys import lint_cast_plan
+
+        src = {
+            f.name: f.dataType.simpleString()
+            for f in self._data.schema.fields
+            if f.name in self._subset
+        }
+        dst = {
+            f.name: f.dataType.simpleString()
+            for f in self._target.schema.fields
+        }
+        # map Spark type names onto the canonical/DBMS vocabulary the
+        # matrix understands
+        canon_src = {
+            "string": "object", "bigint": "int64", "int": "int64",
+            "double": "float64", "float": "float64",
+            "timestamp": "datetime64[ns]", "timestamp_ntz": "datetime64[ns]",
+        }
+        canon_dst = {
+            "string": "text", "bigint": "int", "int": "int",
+            "double": "float", "float": "float",
+            "timestamp": "datetime", "timestamp_ntz": "datetime",
+            "date": "date", "boolean": "bool",
+        }
+        return lint_cast_plan(
+            {c: canon_src.get(t, t) for c, t in src.items()},
+            {c: canon_dst.get(t, t) for c, t in dst.items()},
+        )
+
     # --- execution ---------------------------------------------------
 
     def _updates_frame(self) -> DataFrame:

@@ -1,0 +1,104 @@
+"""SCD Type-2 merge — the versioned variant of the engine's upsert.
+
+Where Merger (operators/merge.py) overwrites in place (the
+reference's UPDATE..JOIN semantics), scd2_merge preserves history:
+a changed row is *closed* (valid_to = batch_time, is_current=false)
+and a new open version inserted; unchanged rows pass through
+untouched; brand-new keys insert as open versions.
+
+One Catalyst plan: current slice FULL OUTER JOIN updates on the
+business key, per-row CASE on (matched, changed) — the same
+broadcast-small-side discipline as Merger, so the dimension's
+history never shuffles (it unions back in untouched).
+
+Change detection is null-safe (NOT (a <=> b)): NULL→value and
+value→NULL transitions are real changes.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MATCH = "__scd2_matched"
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    batch_time,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Return the post-merge dimension (history rows + closed rows +
+    carried-forward rows + new open versions).
+
+    ``batch_time``: a Column/literal used as the close/open boundary.
+    ``updates`` must carry exactly (keys + tracked).
+    """
+    batch_time = F.lit(batch_time) if not hasattr(batch_time, "_jc") else batch_time
+    hist = dim.filter(~F.col(is_current))
+    curr = dim.filter(F.col(is_current))
+
+    u = updates.select(
+        *[F.col(k).alias(f"u_{k}") for k in keys],
+        *[F.col(c).alias(f"u_{c}") for c in tracked],
+        F.lit(True).alias(_MATCH),
+    )
+    if broadcast:
+        u = F.broadcast(u)
+
+    on = reduce(
+        lambda a, b: a & b, [curr[k] == u[f"u_{k}"] for k in keys]
+    )
+    j = curr.join(u, on, "full_outer")
+
+    matched = F.col(_MATCH).isNotNull() & curr[keys[0]].isNotNull()
+    changed = matched & reduce(
+        lambda a, b: a | b,
+        [~curr[c].eqNullSafe(F.col(f"u_{c}")) for c in tracked],
+    )
+    new_key = F.col(_MATCH).isNotNull() & curr[keys[0]].isNull()
+
+    other_cols = [
+        c
+        for c in dim.columns
+        if c not in keys + tracked + [valid_from, valid_to, is_current]
+    ]
+
+    def closed_or_carried():
+        """Rows sourced from the current slice: closed when changed,
+        carried forward otherwise; dropped when the key is update-only."""
+        return j.filter(curr[keys[0]].isNotNull()).select(
+            *[curr[k].alias(k) for k in keys],
+            *[curr[c].alias(c) for c in tracked],
+            *[curr[c].alias(c) for c in other_cols],
+            curr[valid_from].alias(valid_from),
+            F.when(changed, batch_time).otherwise(curr[valid_to]).alias(valid_to),
+            F.when(changed, F.lit(False)).otherwise(curr[is_current]).alias(is_current),
+        )
+
+    def new_versions():
+        """Open versions for changed keys and brand-new keys."""
+        src = j.filter(changed | new_key)
+        return src.select(
+            *[F.coalesce(F.col(f"u_{k}"), curr[k]).alias(k) for k in keys],
+            *[F.col(f"u_{c}").alias(c) for c in tracked],
+            *[F.lit(None).cast(dim.schema[c].dataType).alias(c) for c in other_cols],
+            batch_time.cast(dim.schema[valid_from].dataType).alias(valid_from),
+            F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+            F.lit(True).alias(is_current),
+        )
+
+    cols = dim.columns
+    return (
+        hist.select(*cols)
+        .unionByName(closed_or_carried().select(*cols))
+        .unionByName(new_versions().select(*cols))
+    )

@@ -460,3 +460,72 @@ def candidate_key_composite(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     ok = candidate_key_check(li, ["l_orderkey", "l_linenumber"])
     return spark.createDataFrame([(ok,)], "is_candidate_key boolean")
+
+
+@declare(
+    "scd2_versioned_merge",
+    oracle="""
+    WITH dim AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               o_orderdate AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               TRUE AS is_current
+        FROM orders
+    ), u AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 20 = 0 THEN 'V' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice + CASE WHEN o_orderkey % 20 = 0 THEN 5.0 ELSE 0.0 END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+    ), changed AS (
+        SELECT d.o_orderkey FROM dim d JOIN u ON d.o_orderkey = u.o_orderkey
+        WHERE d.o_orderstatus IS DISTINCT FROM u.o_orderstatus
+           OR d.o_totalprice IS DISTINCT FROM u.o_totalprice
+    )
+    SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice, d.valid_from,
+           CASE WHEN c.o_orderkey IS NOT NULL
+                THEN TIMESTAMP '2002-01-01' ELSE d.valid_to END AS valid_to,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN FALSE ELSE TRUE END
+               AS is_current
+    FROM dim d LEFT JOIN changed c ON d.o_orderkey = c.o_orderkey
+    UNION ALL
+    SELECT u.o_orderkey, u.o_orderstatus, u.o_totalprice,
+           TIMESTAMP '2002-01-01' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM u WHERE u.o_orderkey IN (SELECT o_orderkey FROM changed)
+    """,
+)
+def scd2_versioned_merge(spark, sf_dir):
+    """SCD2 versioned merge over an orders-derived dimension: every
+    20th key changes (closed + new open version), other update rows
+    are attribute-identical (carried forward untouched) — exercising
+    the changed/unchanged/new-key branches with an exact oracle."""
+    from database_importer_spark.operators.scd2 import scd2_merge
+
+    o = t(spark, sf_dir, "orders")
+    dim = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 20 == 0, F.lit("V"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 20 == 0, F.lit(5.0)).otherwise(F.lit(0.0))
+        ).alias("o_totalprice"),
+    )
+    return scd2_merge(
+        dim,
+        updates,
+        keys=["o_orderkey"],
+        tracked=["o_orderstatus", "o_totalprice"],
+        batch_time=F.lit("2002-01-01").cast("timestamp"),
+    )

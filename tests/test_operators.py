@@ -219,3 +219,41 @@ def test_pack_sequences_invariants(spark, sf_dir):
     # deterministic across runs
     again = pack_sequences(docs, "doc_id", "n_chars", max_tokens).collect()
     assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+
+
+def test_scd2_merge_branches(spark):
+    from database_importer_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            # closed historical version of k=1
+            (1, "a", 1.0, "2020-01-01", "2021-01-01", False),
+            # open versions
+            (1, "b", 2.0, "2021-01-01", None, True),   # will change
+            (2, "x", 5.0, "2021-01-01", None, True),   # attrs identical in update
+            (3, "y", 7.0, "2021-01-01", None, True),   # untouched by update
+        ],
+        "k int, attr string, val double, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "c", 3.0), (2, "x", 5.0), (9, "new", 9.0)],
+        "k int, attr string, val double",
+    )
+    out = scd2_merge(
+        dim, updates, keys=["k"], tracked=["attr", "val"], batch_time="2022-06-01"
+    ).collect()
+    rows = {(r["k"], r["attr"], r["is_current"]): r for r in out}
+    assert len(out) == 6
+    # history untouched
+    assert (1, "a", False) in rows
+    # changed key: old closed at batch time, new open version
+    closed = rows[(1, "b", False)]
+    assert closed["valid_to"] == "2022-06-01"
+    opened = rows[(1, "c", True)]
+    assert opened["valid_from"] == "2022-06-01" and opened["valid_to"] is None
+    # identical attrs: carried forward open
+    assert rows[(2, "x", True)]["valid_to"] is None
+    # untouched key: carried forward open
+    assert rows[(3, "y", True)]["valid_to"] is None
+    # brand-new key: open version
+    assert rows[(9, "new", True)]["valid_from"] == "2022-06-01"
