@@ -1,0 +1,206 @@
+"""Coverage-widening extras: window value functions, distribution
+ranks, conditional/hash/bitwise scalar kernels, and exact moment
+statistics — each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database_importer_spark.plans.registry import DEC, declare, t
+
+
+@declare(
+    "win_first_last_nth",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_nth(spark, sf_dir):
+    """Window value functions over an explicit full-partition frame
+    (the default frame differs between engines — pin it)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
+
+
+@declare(
+    "win_distribution_ranks",
+    oracle="""
+    SELECT c_custkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           CAST(dense_rank() OVER w AS BIGINT) AS dr
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_distribution_ranks(spark, sf_dir):
+    """percent_rank / cume_dist / dense_rank — rank arithmetic is
+    (rank-1)/(n-1): integer ratios, bit-exact across engines."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.dense_rank().over(w).cast("bigint").alias("dr"),
+    )
+
+
+@declare(
+    "fn_conditional_core",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           ifnull(NULLIF(o_orderpriority, '1-URGENT'), 'urgent') AS prio_or_urgent,
+           greatest(o_totalprice, 100000.0) AS at_least_100k,
+           least(o_totalprice, 100000.0) AS at_most_100k
+    FROM orders
+    """,
+)
+def fn_conditional_core(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.ifnull(F.nullif("o_orderpriority", F.lit("1-URGENT")), F.lit("urgent")).alias(
+            "prio_or_urgent"
+        ),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("at_least_100k"),
+        F.least("o_totalprice", F.lit(100000.0)).alias("at_most_100k"),
+    )
+
+
+@declare(
+    "fn_hash_digest",
+    oracle="""
+    SELECT p_partkey, md5(p_name) AS name_md5, sha256(p_name) AS name_sha256
+    FROM part
+    """,
+)
+def fn_hash_digest(spark, sf_dir):
+    """Content digests (hex-lowercase on both engines) — the
+    grounding for digest-based dedup and integrity checks."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_name", 256).alias("name_sha256"),
+    )
+
+
+@declare(
+    "fn_bitwise_core",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 1 AS set_low,
+           xor(o_orderkey, 21845) AS xored,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3
+    FROM orders
+    """,
+)
+def fn_bitwise_core(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("set_low"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+    )
+
+
+@declare(
+    "fn_string_extra",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_lpad,
+           rpad(p_brand, 12, '*') AS brand_rpad,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_brand, 2) AS brand_twice,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           translate(p_type, 'aeiou', 'AEIOU') AS type_vowel_upper,
+           upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2))
+               AS type_title
+    FROM part
+    """,
+)
+def fn_string_extra(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, "*").alias("brand_rpad"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_vowel_upper"),
+        F.initcap("p_type").alias("type_title"),
+    )
+
+
+@declare(
+    "agg_moments_explicit",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))
+                        * CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS s2
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           s1 / n AS mean_price,
+           ROUND((s2 - s1 * s1 / n) / (n - 1) / 1000000.0, 2) AS var_price_k2,
+           ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 2) AS std_price
+    FROM s
+    """,
+)
+def agg_moments_explicit(spark, sf_dir):
+    """Variance/stddev from exact decimal power sums — the built-in
+    stddev aggregates are float-order-dependent across engines; the
+    sum-of-squares form is order-independent, so the moments are
+    deterministic at any parallelism. The s2 - s1²/n subtraction
+    cancels catastrophically (~1e19 operands → ~1e2 absolute error),
+    so variance is reported in (k$)² rounded to 2 dp — granularity
+    far above the cancellation noise."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast(DEC)
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return s.select(
+        "o_orderpriority",
+        "n",
+        (s1 / n).alias("mean_price"),
+        F.round((s2 - s1 * s1 / n) / (n - 1) / 1000000.0, 2).alias("var_price_k2"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 2).alias("std_price"),
+    )
