@@ -204,3 +204,85 @@ def agg_moments_explicit(spark, sf_dir):
         F.round((s2 - s1 * s1 / n) / (n - 1) / 1000000.0, 2).alias("var_price_k2"),
         F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 2).alias("std_price"),
     )
+
+
+@declare(
+    "agg_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                THEN CAST(l_quantity AS DECIMAL(25,4)) END) AS DOUBLE) AS qty_A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N'
+                THEN CAST(l_quantity AS DECIMAL(25,4)) END) AS DOUBLE) AS qty_N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                THEN CAST(l_quantity AS DECIMAL(25,4)) END) AS DOUBLE) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot (long→wide): explicit pivot values keep it one pass with
+    no distinct-values pre-job — at scale always enumerate the pivot
+    domain. Oracle = portable conditional aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_A"),
+            F.col("N").alias("qty_N"),
+            F.col("R").alias("qty_R"),
+        )
+    )
+
+
+@declare(
+    "set_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+    FROM orders
+    """,
+)
+def set_unpivot(spark, sf_dir):
+    """Unpivot/melt (wide→long) via the native unpivot operator —
+    generates rows without a join or explode payload copy."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").cast("double")
+    )
+    return o.unpivot(
+        "o_orderkey", ["o_totalprice", "o_custkey"], "metric", "value"
+    )
+
+
+@declare(
+    "llm_split_train_val",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id,
+               CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM assigned GROUP BY split
+    """,
+)
+def llm_split_train_val(spark, sf_dir):
+    """Deterministic train/val/test split by multiplicative key
+    hashing (Knuth constant) — reproducible across runs, engines and
+    cluster sizes; no rand(). Checksum pins exact membership."""
+    d = t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split")
+    )
+    return d.groupBy(split).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
