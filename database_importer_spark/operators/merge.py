@@ -286,13 +286,23 @@ class Merger:
             out = joined.select(*cols)
 
         if insert:
-            unmatched = self._data.join(
-                F.broadcast(self._target.select(*keys))
-                if not self._broadcast
-                else self._target.select(*keys),
-                on=keys,
-                how="left_anti",
-            )
+            if self._broadcast:
+                # Direct data-ANTI-target would shuffle every target
+                # key. Instead: semi-join target keys against the
+                # broadcast source (target scanned, nothing shuffled;
+                # result ≤ |source|), then anti-join the source
+                # against that small matched-key set — two broadcast
+                # joins, the 100 TB side never moves.
+                matched_keys = self._target.select(*keys).join(
+                    F.broadcast(self._data.select(*keys)), keys, "left_semi"
+                )
+                unmatched = self._data.join(
+                    F.broadcast(matched_keys), on=keys, how="left_anti"
+                )
+            else:
+                unmatched = self._data.join(
+                    self._target.select(*keys), on=keys, how="left_anti"
+                )
             # pad to the full target schema with typed NULLs
             pad = unmatched.select(
                 *[
