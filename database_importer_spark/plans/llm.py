@@ -474,3 +474,44 @@ def llm_tfidf_topk(spark, sf_dir):
         .orderBy(F.col("tfidf").desc(), "term")
         .limit(25)
     )
+
+
+@declare(
+    "llm_dedup_clusters",
+    oracle="""
+    WITH e AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b
+          ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+         AND a.doc_id < b.doc_id
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM e
+        UNION SELECT id_b, id_a FROM e
+    ),
+    reach AS (
+        WITH RECURSIVE r(src, dst) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT r.src, u.b FROM r JOIN und u ON r.dst = u.a
+        )
+        SELECT * FROM r
+    )
+    SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY src
+    """,
+)
+def llm_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate groups via connected components
+    (hash-to-min label propagation; operators/components.py): each
+    clustered doc maps to its group's canonical (min) id. Oracle:
+    recursive-CTE transitive closure."""
+    from database_importer_spark.operators.components import dedup_groups
+
+    d = t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, 40).alias("pa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.substring("text", 1, 40).alias("pb"))
+    pairs = a.join(
+        b, (F.col("pa") == F.col("pb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    return dedup_groups(pairs)

@@ -257,3 +257,15 @@ def test_scd2_merge_branches(spark):
     assert rows[(3, "y", True)]["valid_to"] is None
     # brand-new key: open version
     assert rows[(9, "new", True)]["valid_from"] == "2022-06-01"
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from database_importer_spark.operators.components import connected_components
+
+    # chain 1-2-3-4 (diameter > 1), pair {10,11}, triangle {20,21,22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    cc = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
