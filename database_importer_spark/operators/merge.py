@@ -57,6 +57,13 @@ def _plural(n: int) -> str:
     return "s" if n > 1 else ""
 
 
+def _qcol(name: str, side: str | None = None):
+    """Backtick-quoted column reference — dotted/spaced names must not
+    parse as nested field access."""
+    q = "`" + name.replace("`", "``") + "`"
+    return F.col(f"{side}.{q}" if side else q)
+
+
 def _dedup_keep_order(cols: list[str]) -> list[str]:
     seen = set()
     out = []
@@ -119,7 +126,9 @@ class Merger:
 
         # the reference's _slice_data: project to join+subset, drop
         # NULL-key rows (they can never match), in one lazy plan.
-        sliced = data.select(*self._join_on, *self._subset)
+        sliced = data.select(
+            *[_qcol(c).alias(c) for c in (*self._join_on, *self._subset)]
+        )
         self._data = sliced.na.drop(subset=self._join_on)
 
     # --- validation (importer.py:141-251 parity) --------------------
@@ -268,21 +277,22 @@ class Merger:
         if update:
             a, b = self._target.alias("a"), u.alias("b")
             joined = a.join(b, on=keys, how="left")
+
             cols = []
             for c in self._target.columns:
                 if c in keys:
-                    cols.append(F.col(c))
+                    cols.append(_qcol(c))
                 elif c in self._subset:
                     # UPDATE SET a.c = b.c — source value wins on
                     # match even when NULL; match flag (never NULL on
                     # a matched row) drives the branch.
                     cols.append(
-                        F.when(F.col(_MATCH_FLAG), F.col(f"b.{c}"))
-                        .otherwise(F.col(f"a.{c}"))
+                        F.when(F.col(_MATCH_FLAG), _qcol(c, "b"))
+                        .otherwise(_qcol(c, "a"))
                         .alias(c)
                     )
                 else:
-                    cols.append(F.col(f"a.{c}"))
+                    cols.append(_qcol(c, "a").alias(c))
             out = joined.select(*cols)
 
         if insert:
@@ -293,20 +303,26 @@ class Merger:
                 # result ≤ |source|), then anti-join the source
                 # against that small matched-key set — two broadcast
                 # joins, the 100 TB side never moves.
-                matched_keys = self._target.select(*keys).join(
-                    F.broadcast(self._data.select(*keys)), keys, "left_semi"
+                matched_keys = self._target.select(
+                    *[_qcol(k).alias(k) for k in keys]
+                ).join(
+                    F.broadcast(self._data.select(*[_qcol(k).alias(k) for k in keys])),
+                    keys,
+                    "left_semi",
                 )
                 unmatched = self._data.join(
                     F.broadcast(matched_keys), on=keys, how="left_anti"
                 )
             else:
                 unmatched = self._data.join(
-                    self._target.select(*keys), on=keys, how="left_anti"
+                    self._target.select(*[_qcol(k).alias(k) for k in keys]),
+                    on=keys,
+                    how="left_anti",
                 )
             # pad to the full target schema with typed NULLs
             pad = unmatched.select(
                 *[
-                    F.col(c).cast(self._target.schema[c].dataType)
+                    _qcol(c).cast(self._target.schema[c].dataType).alias(c)
                     if c in unmatched.columns
                     else F.lit(None).cast(self._target.schema[c].dataType).alias(c)
                     for c in self._target.columns
@@ -321,7 +337,11 @@ class Merger:
         reference's ``cur.rowcount`` surface (importer.py:359). Equals
         the semi-join count because source keys are unique."""
         return self._target.join(
-            self._updates_frame().select(*self._join_on), self._join_on, "left_semi"
+            self._updates_frame().select(
+                *[_qcol(k).alias(k) for k in self._join_on]
+            ),
+            self._join_on,
+            "left_semi",
         ).count()
 
 

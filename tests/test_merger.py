@@ -242,3 +242,37 @@ def test_cast_warnings(spark, groceries):
     clean = spark.createDataFrame([("ID000001", 7)], "id string, quantity int")
     m2 = Merger(groceries, clean, join_on=["id"], subset=["quantity"])
     assert m2.cast_warnings() == []
+
+
+def test_composite_key_merge(spark):
+    """Multi-column join keys: conjunctive equality, null in ANY key
+    column drops the row (reference multi-key semantics)."""
+    target = spark.createDataFrame(
+        [(1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0)],
+        "k1 int, k2 string, v double",
+    )
+    src = spark.createDataFrame(
+        [(1, "x", 11.0), (2, None, 99.0), (2, "x", 33.0)],
+        "k1 int, k2 string, v double",
+    )
+    out = Merger(target, src, join_on=["k1", "k2"]).merged(update=True)
+    assert rows(out) == [(1, "x", 11.0), (1, "y", 20.0), (2, "x", 33.0)]
+
+
+def test_hostile_column_names(spark):
+    """Columns with spaces and dots survive the merge plan (no raw
+    string interpolation into SQL)."""
+    target = spark.createDataFrame(
+        [("a", 1), ("b", 2)], ["the key", "some value"]
+    )
+    src = spark.createDataFrame([("a", 10)], ["the key", "some value"])
+    out = Merger(target, src, join_on=["the key"]).merged(update=True)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("a", 10), ("b", 2)]
+
+
+def test_dotted_column_names(spark):
+    target = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v.x"])
+    src = spark.createDataFrame([("a", 10)], ["k", "v.x"])
+    out = Merger(target, src, join_on=["k"]).merged(update=True)
+    assert sorted(tuple(r) for r in out.collect()) == [("a", 10), ("b", 2)]
