@@ -286,3 +286,64 @@ def llm_split_train_val(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").alias("id_checksum"),
     )
+
+
+@declare(
+    "ts_gap_fill_ffill",
+    oracle="""
+    WITH sel AS (SELECT * FROM events WHERE user_id < 5),
+    bounds AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+        FROM sel GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, g.g AS grid_ts
+        FROM bounds, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS g(g)
+    )
+    SELECT g.user_id, g.grid_ts, o.value AS filled_value
+    FROM grid g
+    ASOF LEFT JOIN sel o
+      ON g.user_id = o.user_id AND g.grid_ts >= o.ts
+    """,
+)
+def ts_gap_fill_ffill(spark, sf_dir):
+    """Hourly gap-filled per-user series with forward fill
+    (hypertable gap-fill analogue) — grid via sequence()+explode,
+    fill via one union+window pass. Oracle: DuckDB ASOF LEFT JOIN
+    of the generated grid onto observations."""
+    from database_importer_spark.operators.timeseries import gap_fill_ffill
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    return gap_fill_ffill(ev, "user_id", "ts", "value", 3600)
+
+
+@declare(
+    "ts_bucket_rollup",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', ts) AS h0, date_trunc('day', ts) AS d0,
+               date_trunc('month', ts) AS m0, value
+        FROM events
+    )
+    SELECT 'hour' AS resolution, h0 AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM b GROUP BY h0
+    UNION ALL
+    SELECT 'day', d0, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE)
+    FROM b GROUP BY d0
+    UNION ALL
+    SELECT 'month', m0, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE)
+    FROM b GROUP BY m0
+    """,
+)
+def ts_bucket_rollup(spark, sf_dir):
+    """Hour/day/month continuous-aggregate rollup in ONE scan via SQL
+    GROUPING SETS (Expand) — the oracle spells it as three scans;
+    results are identical, the single-scan plan is the scale win."""
+    from database_importer_spark.operators.timeseries import time_bucket_rollup
+
+    ev = t(spark, sf_dir, "events")
+    return time_bucket_rollup(spark, ev, "ts", "value")
