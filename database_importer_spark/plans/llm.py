@@ -515,3 +515,79 @@ def llm_dedup_clusters(spark, sf_dir):
         b, (F.col("pa") == F.col("pb")) & (F.col("id_a") < F.col("id_b"))
     ).select("id_a", "id_b")
     return dedup_groups(pairs)
+
+
+@declare(
+    "llm_contamination_check",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, text,
+               CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                    ELSE 'eval' END AS split
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, split,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(string_split(text, ' ')) - 4, 1)),
+                   i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
+               ))) AS shingle
+        FROM assigned
+    )
+    SELECT e.doc_id AS eval_doc_id,
+           CAST(COUNT(DISTINCT e.shingle) AS BIGINT) AS n_shared_shingles,
+           CAST(MIN(tr.doc_id) AS BIGINT) AS first_train_doc
+    FROM sh e JOIN sh tr ON e.shingle = tr.shingle
+    WHERE e.split = 'eval' AND tr.split = 'train'
+    GROUP BY e.doc_id
+    """,
+)
+def llm_contamination_check(spark, sf_dir):
+    """Train/eval contamination: 5-gram shingle collisions between the
+    deterministic splits — the standard decontamination pass. Shuffle
+    carries (shingle-hash, doc) pairs; at 100 TB hash the shingles
+    (sha2) before the join so raw text never shuffles."""
+    d = t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % 100
+    assigned = d.withColumn(
+        "split", F.when(h < 80, "train").otherwise("eval")
+    )
+    sh = (
+        D.shingles(assigned.select("doc_id", "split", "text"), "text", 5)
+        .select("doc_id", "split", F.explode("shingle_arr").alias("shingle"))
+    )
+    ev = sh.filter(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    tr = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    return (
+        ev.join(tr, "shingle")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_shingles"),
+            F.min("train_doc_id").alias("first_train_doc"),
+        )
+    )
+
+
+@declare(
+    "llm_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+           CAST(length(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_masked
+    FROM documents
+    """,
+)
+def llm_pii_scrub(spark, sf_dir):
+    """Pattern-based scrubbing (digit runs → <NUM>) with a mask count
+    — the shape of PII redaction (emails/phones are the same regexp
+    pass with richer patterns); pure codegen, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "<NUM>").alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_masked"),
+    )

@@ -113,3 +113,23 @@ def stream_custom_stateful(spark, sf_dir):
     ev = W.read_events_stream(spark, sf_dir)
     out = W.run_bounded(running_user_totals(ev), "update")
     return out.select("user_id", "n_events", "sum_value")
+
+
+@declare(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join (purchases ≤1h after a
+    click, per user) — on bounded replay ≡ the batch time-range
+    join."""
+    out = W.stream_stream_click_purchase(spark, sf_dir)
+    return W.run_bounded(out, "append")

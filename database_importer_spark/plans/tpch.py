@@ -274,3 +274,146 @@ def tpch_q18(spark, sf_dir):
             F.col("total_qty").cast("double").alias("total_qty"),
         )
     )
+
+
+@declare(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH co AS (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    """Q13: distribution of orders-per-customer (left join keeps
+    zero-order customers; the filter rides the join condition, not a
+    WHERE — the classic outer-join-predicate distinction)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT")
+    co = (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@declare(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, CAST(SUM({REV_SQL}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate < TIMESTAMP '1999-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """Q15: top supplier by quarterly revenue — aggregate, take the
+    max via a scalar subquery twin (engine side: window-free
+    max-join, one extra tiny aggregate instead of a global sort)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(REV()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@declare(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+        SELECT l_partkey, 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(25,4)))
+               AS DOUBLE) / COUNT(*)) AS threshold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < a.threshold
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """Q17: small-quantity order revenue — correlated avg subquery
+    expressed as an aggregate-then-join (Catalyst would decorrelate
+    to exactly this)."""
+    li = t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)))
+        ).alias("threshold")
+    )
+    p = F.broadcast(
+        t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@declare(
+    "tpch_q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    """Q19: disjunctive multi-branch predicate over a broadcast part
+    join — the optimizer extracts the common p_partkey equi conjunct;
+    the OR-of-ANDs stays a residual filter."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(t(spark, sf_dir, "part"))
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.sum(REV()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )

@@ -178,3 +178,41 @@ def late_data_replay(
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
     return run_bounded(agg, "append")
+
+
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases within 1 hour after a
+    click by the same user. Both sides carry watermarks and the join
+    condition bounds event time on both sides — that is what lets
+    the state store evict rows (unbounded stream-stream joins are
+    unbounded state)."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "click_id", "user_id", "click_ts", "purchase_id", "purchase_ts",
+        "purchase_value",
+    )
