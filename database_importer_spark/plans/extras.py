@@ -347,3 +347,40 @@ def ts_bucket_rollup(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return time_bucket_rollup(spark, ev, "ts", "value")
+
+
+@declare(
+    "fn_map_core",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events
+    )
+    SELECT event_id,
+           map(['k', 'k2'], [k, k * 2])['k'][1] AS k_val,
+           map(['k', 'k2'], [k, k * 2])['k2'][1] AS k2_val,
+           CAST(cardinality(map(['k', 'k2'], [k, k * 2])) AS INT) AS m_size,
+           array_to_string(list_sort(map_keys(map(['k', 'k2'], [k, k * 2]))), ',')
+               AS keys_sorted
+    FROM w
+    """,
+)
+def fn_map_core(spark, sf_dir):
+    """Map-typed column kernel: construction, key access, size,
+    canonicalized key list (map iteration order is engine-specific —
+    always sort before comparing). DuckDB map access returns a list;
+    the oracle unwraps with [1]."""
+    ev = t(spark, sf_dir, "events")
+    w = ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+    m = F.map_from_arrays(
+        F.array(F.lit("k"), F.lit("k2")), F.array(F.col("k"), F.col("k") * 2)
+    )
+    return w.select(
+        "event_id",
+        m.getItem("k").alias("k_val"),
+        m.getItem("k2").alias("k2_val"),
+        F.size(m).alias("m_size"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("keys_sorted"),
+    )
