@@ -58,7 +58,17 @@ def _normalize_ns_timestamps(name: str, df: DataFrame) -> DataFrame:
     return df
 
 
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """Defensive: reading TIMESTAMP(NANOS) parquet fails outright
+    unless nanosAsLong is on. The engine's session factory sets it,
+    but queries must also run on a caller-provided session (the
+    driver's) — the conf is runtime-settable, so pin it here."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name in NS_TIMESTAMP_COLS:
+        _ensure_nanos_readable(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     return _normalize_ns_timestamps(name, spark.read.parquet(path))
 
@@ -69,6 +79,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     Mirrors the reference's whole-workbook load (window.py:296,
     ``sheet_name=None`` → dict of DataFrames), parquet-native.
     """
+    _ensure_nanos_readable(spark)
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -51,6 +51,9 @@ def _events_stream_dir(sf_dir: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet with ts normalized to a
     µs timestamp (same truncation as the batch loader)."""
+    from database_importer_spark.sources.loader import _ensure_nanos_readable
+
+    _ensure_nanos_readable(spark)
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_events_stream_dir(sf_dir))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
