@@ -51,9 +51,15 @@ def _normalize_ns_timestamps(name: str, df: DataFrame) -> DataFrame:
     for col in NS_TIMESTAMP_COLS.get(name, []):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
             # integer division — float division of ns-scale longs
-            # (~1.7e18) exceeds double precision and lands ±1 µs off
+            # (~1.7e18) exceeds double precision and lands ±1 µs off.
+            # Final cast to NTZ (with session tz pinned UTC above)
+            # matches the other tables' parquet NTZ timestamps and is
+            # immune to the caller's session timezone thereafter.
             df = df.withColumn(
-                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+                col,
+                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast(
+                    "timestamp_ntz"
+                ),
             )
     return df
 
@@ -62,8 +68,11 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
     """Defensive: reading TIMESTAMP(NANOS) parquet fails outright
     unless nanosAsLong is on. The engine's session factory sets it,
     but queries must also run on a caller-provided session (the
-    driver's) — the conf is runtime-settable, so pin it here."""
+    driver's) — the conf is runtime-settable, so pin it here. Session
+    timezone is pinned too: the ns→timestamp conversion round-trips
+    through an LTZ value, and a non-UTC session would shift it."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

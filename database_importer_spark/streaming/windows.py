@@ -53,6 +53,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     µs timestamp (same truncation as the batch loader)."""
     from database_importer_spark.sources.loader import _ensure_nanos_readable
 
+    # Watermarks/windows require LTZ timestamps (NTZ is rejected) —
+    # keep ts as LTZ here; _ensure_nanos_readable pins the session
+    # timezone to UTC so the values are still deterministic.
     _ensure_nanos_readable(spark)
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_events_stream_dir(sf_dir))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
