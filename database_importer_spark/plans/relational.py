@@ -501,18 +501,26 @@ def agg_percentile_exact(spark, sf_dir):
 @declare(
     "agg_collect_sorted",
     oracle="""
-    SELECT r.r_name, list_sort(list(n.n_name)) AS nations
+    SELECT r.r_name,
+           array_to_string(list_sort(list(n.n_name)), '|') AS nations,
+           CAST(length(list(n.n_name)) AS INT) AS n_nations
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     """,
 )
 def agg_collect_sorted(spark, sf_dir):
     """Array agg canonicalized with sort_array — collect order is
-    partition-dependent, sorted output is deterministic."""
+    partition-dependent, sorted output is deterministic. Serialized
+    to a joined string for hashing: pandas represents Spark arrays as
+    numpy ndarrays but DuckDB lists as Python lists — value-equal,
+    repr-different."""
     n = t(spark, sf_dir, "nation")
     r = F.broadcast(t(spark, sf_dir, "region"))
     return (
         n.join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"),
+            F.size(F.collect_list("n_name")).alias("n_nations"),
+        )
     )
