@@ -384,3 +384,33 @@ def fn_map_core(spark, sf_dir):
         F.size(m).alias("m_size"),
         F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("keys_sorted"),
     )
+
+
+@declare(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+           TRUE AS approx_within_tolerance
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark, sf_dir):
+    """Approximate percentile sketch vs exact: the sketch value is
+    algorithm-specific (no cross-engine twin), so the query asserts
+    it lands within 5% of the exact percentile — tolerance verdict
+    hashes, sketch internals don't. At 100 TB the sketch is the only
+    option: mergeable, single-pass, no per-group sort."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("exact_p50"),
+        F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("approx_p50"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_p50",
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.05 * F.greatest(F.abs(F.col("exact_p50")), F.lit(1.0))
+        ).alias("approx_within_tolerance"),
+    )
