@@ -18,8 +18,16 @@ each round's shuffle carries (node, label) pairs only.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceWarning(RuntimeWarning):
+    """Raised-as-warning when label propagation exhausts max_rounds
+    with labels still changing — the returned labels are an upper
+    bound on the true components, not the fixed point."""
 
 
 def connected_components(
@@ -27,11 +35,17 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 25,
+    strict: bool = False,
 ) -> DataFrame:
     """Return (id, component) where component = min node id reachable
     from ``id`` — the canonical-representative assignment. Only nodes
     appearing in ``edges`` are returned (isolated docs are their own
-    canonical trivially)."""
+    canonical trivially).
+
+    Convergence is verified: if labels are still changing when
+    ``max_rounds`` is exhausted (graph diameter > max_rounds), raises
+    RuntimeError when ``strict`` else emits ConvergenceWarning —
+    never silently returns non-converged labels."""
     adj = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -42,6 +56,7 @@ def connected_components(
         adj.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     )
 
+    converged = False
     for _ in range(max_rounds):
         nbr_min = (
             adj.join(
@@ -69,7 +84,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            "connected_components exhausted max_rounds=%d with labels "
+            "still changing; results are not the transitive closure "
+            "(graph diameter exceeds the round budget)" % max_rounds
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, ConvergenceWarning)
     return labels.select("id", F.col("label").alias("component"))
 
 

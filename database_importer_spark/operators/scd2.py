@@ -13,6 +13,15 @@ history never shuffles (it unions back in untouched).
 
 Change detection is null-safe (NOT (a <=> b)): NULL→value and
 value→NULL transitions are real changes.
+
+NULL handling (round-2 hardening): row provenance after the full
+outer join is tracked with explicit marker columns on BOTH sides, so
+current rows whose business key is NULL are carried forward (a NULL
+key never equi-matches an update, and provenance no longer depends
+on key nullability). A NULL ``is_current`` flag is treated as "not
+current" (the row is preserved in the history slice, not dropped).
+Duplicate update keys are rejected up front, mirroring
+Merger.validate_unique_keys (reference importer.py:242-249).
 """
 
 from __future__ import annotations
@@ -23,6 +32,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _MATCH = "__scd2_matched"
+_CURR = "__scd2_curr"
+
+
+class Scd2Error(ValueError):
+    pass
 
 
 def scd2_merge(
@@ -35,16 +49,37 @@ def scd2_merge(
     valid_to: str = "valid_to",
     is_current: str = "is_current",
     broadcast: bool = True,
+    validate: bool = True,
 ) -> DataFrame:
     """Return the post-merge dimension (history rows + closed rows +
     carried-forward rows + new open versions).
 
     ``batch_time``: a Column/literal used as the close/open boundary.
     ``updates`` must carry exactly (keys + tracked).
+    ``validate``: reject duplicate key tuples in ``updates`` (one
+    cheap map-side-combined agg over the small update batch) —
+    duplicates would fan out the join and silently open multiple
+    current versions per key.
     """
     batch_time = F.lit(batch_time) if not hasattr(batch_time, "_jc") else batch_time
-    hist = dim.filter(~F.col(is_current))
-    curr = dim.filter(F.col(is_current))
+    if validate:
+        dup = (
+            updates.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise Scd2Error(
+                "updates contain duplicate values in join on columns: %s"
+                % ", ".join(keys)
+            )
+    # NULL is_current ⇒ not current: preserved in the history slice
+    # rather than silently dropped by the null-rejecting filters.
+    curr_flag = F.coalesce(F.col(is_current), F.lit(False))
+    hist = dim.filter(~curr_flag)
+    curr = dim.filter(curr_flag).withColumn(_CURR, F.lit(True))
 
     u = updates.select(
         *[F.col(k).alias(f"u_{k}") for k in keys],
@@ -59,12 +94,14 @@ def scd2_merge(
     )
     j = curr.join(u, on, "full_outer")
 
-    matched = F.col(_MATCH).isNotNull() & curr[keys[0]].isNotNull()
+    # provenance via markers, NOT key nullability: a curr row with a
+    # NULL business key is still a curr row (it just never matches).
+    matched = F.col(_MATCH).isNotNull() & curr[_CURR].isNotNull()
     changed = matched & reduce(
         lambda a, b: a | b,
         [~curr[c].eqNullSafe(F.col(f"u_{c}")) for c in tracked],
     )
-    new_key = F.col(_MATCH).isNotNull() & curr[keys[0]].isNull()
+    new_key = F.col(_MATCH).isNotNull() & curr[_CURR].isNull()
 
     other_cols = [
         c
@@ -75,7 +112,7 @@ def scd2_merge(
     def closed_or_carried():
         """Rows sourced from the current slice: closed when changed,
         carried forward otherwise; dropped when the key is update-only."""
-        return j.filter(curr[keys[0]].isNotNull()).select(
+        return j.filter(curr[_CURR].isNotNull()).select(
             *[curr[k].alias(k) for k in keys],
             *[curr[c].alias(c) for c in tracked],
             *[curr[c].alias(c) for c in other_cols],

@@ -55,9 +55,13 @@ def gap_fill_ffill(
         F.lit(1).alias("__side"),
         F.lit(None).cast(events.schema[value].dataType).alias("__v"),
     )
+    # "__v" as the final orderBy key: deterministic tiebreak when a key
+    # has duplicate observation timestamps (same pattern as
+    # asof_join's right_tiebreak) — without it the carried value would
+    # depend on partition order.
     w = (
         Window.partitionBy(key)
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", "__v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = obs.unionByName(g).withColumn(

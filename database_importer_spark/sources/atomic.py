@@ -29,6 +29,22 @@ def _versions_dir(root: str) -> str:
     return d
 
 
+def _swap_symlink(root: str, target: str, link: str) -> None:
+    """Atomically (re)point ``link`` at ``target``: create the symlink
+    at a unique path owned by this process (mkdtemp — race-free,
+    unlike the deprecated mktemp), then rename(2) it over the link."""
+    tmpdir = tempfile.mkdtemp(dir=root, prefix=".swap_")
+    try:
+        tmp = os.path.join(tmpdir, "link")
+        os.symlink(target, tmp)
+        os.replace(tmp, link)
+    finally:
+        try:
+            os.rmdir(tmpdir)
+        except OSError:
+            pass
+
+
 def atomic_overwrite(df: DataFrame, root: str, version: str) -> str:
     """Write ``df`` as parquet under ``root/_versions/<version>`` and
     atomically repoint ``root/current`` at it. Returns the published
@@ -37,12 +53,7 @@ def atomic_overwrite(df: DataFrame, root: str, version: str) -> str:
     vdir = os.path.join(_versions_dir(root), version)
     df.write.mode("overwrite").parquet(vdir)
 
-    link = os.path.join(root, CURRENT)
-    # atomic swap: create a temp symlink then rename over the old one
-    # (rename(2) is atomic on POSIX; os.symlink + os.replace)
-    tmp = tempfile.mktemp(dir=root, prefix=".swap_")
-    os.symlink(vdir, tmp)
-    os.replace(tmp, link)
+    _swap_symlink(root, vdir, os.path.join(root, CURRENT))
     return vdir
 
 
@@ -60,6 +71,4 @@ def rollback(root: str, version: str) -> None:
     vdir = os.path.join(_versions_dir(root), version)
     if not os.path.isdir(vdir):
         raise ValueError(f"unknown version: {version!r}")
-    tmp = tempfile.mktemp(dir=root, prefix=".swap_")
-    os.symlink(vdir, tmp)
-    os.replace(tmp, os.path.join(root, CURRENT))
+    _swap_symlink(root, vdir, os.path.join(root, CURRENT))

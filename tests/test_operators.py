@@ -259,6 +259,50 @@ def test_scd2_merge_branches(spark):
     assert rows[(9, "new", True)]["valid_from"] == "2022-06-01"
 
 
+def test_scd2_null_keys_and_null_flag_preserved(spark):
+    """ADVICE r1: curr rows with NULL business key must be carried
+    forward (not dropped), and NULL is_current rows must survive as
+    history — row provenance no longer rides on key nullability."""
+    from database_importer_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            (None, "nullkey", 1.0, "2021-01-01", None, True),   # NULL key, open
+            (4, "nullflag", 4.0, "2020-01-01", "2021-01-01", None),  # NULL flag
+            (1, "b", 2.0, "2021-01-01", None, True),
+        ],
+        "k int, attr string, val double, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame([(1, "c", 3.0)], "k int, attr string, val double")
+    out = scd2_merge(
+        dim, updates, keys=["k"], tracked=["attr", "val"], batch_time="2022-06-01"
+    ).collect()
+    rows = {(r["k"], r["attr"]): r for r in out}
+    assert len(out) == 4  # nullkey carried + nullflag kept + closed b + opened c
+    # NULL-key current row carried forward untouched
+    assert rows[(None, "nullkey")]["valid_to"] is None
+    # NULL is_current row preserved (treated as history)
+    assert (4, "nullflag") in rows
+    assert rows[(1, "b")]["is_current"] is False
+    assert rows[(1, "c")]["is_current"] is True
+
+
+def test_scd2_rejects_duplicate_update_keys(spark):
+    from database_importer_spark.operators.scd2 import Scd2Error, scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "b", 2.0, "2021-01-01", None, True)],
+        "k int, attr string, val double, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "c", 3.0), (1, "d", 4.0)], "k int, attr string, val double"
+    )
+    with pytest.raises(Scd2Error, match="duplicate"):
+        scd2_merge(
+            dim, updates, keys=["k"], tracked=["attr", "val"], batch_time="2022-06-01"
+        )
+
+
 def test_connected_components_chain_and_clusters(spark):
     from database_importer_spark.operators.components import connected_components
 
@@ -269,3 +313,49 @@ def test_connected_components_chain_and_clusters(spark):
     )
     cc = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_flags_non_convergence(spark):
+    import warnings as _warnings
+
+    from database_importer_spark.operators.components import (
+        ConvergenceWarning,
+        connected_components,
+    )
+
+    # path graph 1-2-...-8: needs several rounds; max_rounds=1 cannot converge
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        connected_components(edges, max_rounds=1, strict=True)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        connected_components(edges, max_rounds=1).collect()
+    assert any(issubclass(w.category, ConvergenceWarning) for w in caught)
+
+
+def test_gap_fill_deterministic_on_tied_timestamps(spark):
+    """ADVICE r1: duplicate observation timestamps must fill
+    deterministically (max value among ties carries, per the __v
+    tiebreak) regardless of partitioning."""
+    from database_importer_spark.operators.timeseries import gap_fill_ffill
+
+    rows = [
+        ("k1", "2024-01-01 00:00:00", 5.0),
+        ("k1", "2024-01-01 00:00:00", 9.0),  # tie at t0
+        ("k1", "2024-01-01 02:00:00", 1.0),
+    ]
+    ev = spark.createDataFrame(rows, "key string, ts string, value double").select(
+        "key", F.to_timestamp("ts").alias("ts"), "value"
+    )
+    results = set()
+    for n in (1, 7):
+        out = gap_fill_ffill(ev.repartition(n), "key", "ts", "value").collect()
+        results.add(tuple(sorted((str(r["grid_ts"]), r["filled_value"]) for r in out)))
+    assert len(results) == 1
+    filled = {str(r["grid_ts"]): r["filled_value"] for r in
+              gap_fill_ffill(ev, "key", "ts", "value").collect()}
+    assert filled["2024-01-01 00:00:00"] == 9.0  # max of tied obs
+    assert filled["2024-01-01 01:00:00"] == 9.0  # carried forward
+    assert filled["2024-01-01 02:00:00"] == 1.0
