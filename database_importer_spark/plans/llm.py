@@ -448,10 +448,13 @@ def llm_multimodal_features(spark, sf_dir):
 def llm_tfidf_topk(spark, sf_dir):
     """Corpus TF-IDF top-25: collection TF × ln(N/df). Two aggregates
     over the token explode (term counts; per-doc-distinct counts),
-    joined — both shuffles carry (term, count) pairs only. ROUND(6)
-    guards ln() (libm-dependent last-ulp)."""
+    joined — both shuffles carry (term, count) pairs only. N (corpus
+    size) is a 1-row broadcast-crossJoined aggregate, NOT a driver
+    d.count(): the whole query stays one lazy plan with a single scan
+    job instead of paying an extra full-table action per invocation.
+    ROUND(6) guards ln() (libm-dependent last-ulp)."""
     d = t(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
     df = (
@@ -461,13 +464,14 @@ def llm_tfidf_topk(spark, sf_dir):
     )
     return (
         tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
         .select(
             "term",
             "term_count",
             "doc_freq",
             F.round(
                 F.col("term_count")
-                * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+                * F.log(F.col("__n_docs") / F.col("doc_freq")),
                 6,
             ).alias("tfidf"),
         )

@@ -258,12 +258,20 @@ _INS_SQL = """
 
 
 def _insert_source_df(spark, sf_dir):
+    # max-key offset as a scalar-subquery-style broadcast crossJoin:
+    # the 1-row aggregate executes inside THIS query's plan (broadcast
+    # build), not as a driver-side .collect() action per plan build —
+    # one job per invocation instead of two full scans.
     o = t(spark, sf_dir, "orders")
-    max_key = o.agg(F.max("o_orderkey")).collect()[0][0]
-    return o.filter(F.col("o_orderkey") % 100 == 0).select(
-        (F.col("o_orderkey") + F.lit(max_key + 1)).alias("o_orderkey"),
-        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
-        F.lit("N").alias("o_orderstatus"),
+    mx = o.agg((F.max("o_orderkey") + F.lit(1)).alias("__key_base"))
+    return (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("__key_base")).alias("o_orderkey"),
+            (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+            F.lit("N").alias("o_orderstatus"),
+        )
     )
 
 

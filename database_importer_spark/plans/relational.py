@@ -466,15 +466,18 @@ def agg_approx_distinct(spark, sf_dir):
     """HLL++ sketch vs exact: the query asserts the estimate lands
     within 15% of truth (algorithm-specific values can't hash-match
     across engines; the tolerance verdict can). At 100 TB the sketch
-    is mergeable — no distinct-shuffle of the raw keys."""
+    is mergeable — no distinct-shuffle of the raw keys. The verdict is
+    computed IN the plan (no driver-side collect): one lazy job."""
     o = t(spark, sf_dir, "orders")
-    row = o.agg(
+    return o.agg(
         F.count_distinct("o_custkey").alias("exact_nd"),
         F.approx_count_distinct("o_custkey").alias("approx_nd"),
-    ).collect()[0]
-    ok = abs(row["approx_nd"] - row["exact_nd"]) <= 0.15 * row["exact_nd"]
-    return spark.createDataFrame(
-        [(row["exact_nd"], bool(ok))], "exact_nd bigint, approx_within_15pct boolean"
+    ).select(
+        "exact_nd",
+        (
+            F.abs(F.col("approx_nd") - F.col("exact_nd"))
+            <= 0.15 * F.col("exact_nd")
+        ).alias("approx_within_15pct"),
     )
 
 
