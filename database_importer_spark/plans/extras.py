@@ -54,14 +54,25 @@ def win_first_last_nth(spark, sf_dir):
 )
 def win_distribution_ranks(spark, sf_dir):
     """percent_rank / cume_dist / dense_rank — rank arithmetic is
-    (rank-1)/(n-1): integer ratios, bit-exact across engines."""
-    c = t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    (rank-1)/(n-1): integer ratios, bit-exact across engines. The
+    order (c_acctbal, c_custkey) is a total order (custkey unique),
+    so rank = dense_rank = row_number and the distributed two-phase
+    ranker (operators/ranking.py) supplies both rank and total — no
+    single-partition window over the table."""
+    from database_importer_spark.operators.ranking import with_global_row_number
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = with_global_row_number(
+        c,
+        [("c_acctbal", False), ("c_custkey", False)],
+        rank_col="__rn",
+        total_col="__total",
+    )
+    return ranked.select(
         "c_custkey",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-        F.dense_rank().over(w).cast("bigint").alias("dr"),
+        ((F.col("__rn") - 1) / (F.col("__total") - 1)).alias("pr"),
+        (F.col("__rn") / F.col("__total")).alias("cd"),
+        F.col("__rn").alias("dr"),
     )
 
 

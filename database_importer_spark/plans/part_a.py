@@ -166,14 +166,19 @@ def stage_chunked_batches(spark, sf_dir):
     """The reference's 5,000-row staging chunks (importer.py:14,
     :253-261) as a deterministic batch-id assignment. In the engine
     the real analogue is writer batching (JDBC ``batchsize``) —
-    this query verifies the partitioning arithmetic."""
-    from pyspark.sql.window import Window
+    this query verifies the partitioning arithmetic. Row numbering is
+    the two-phase distributed rank (operators/ranking.py): the fact
+    table never funnels through a single-task window."""
+    from database_importer_spark.operators.ranking import with_global_row_number
 
-    w = Window.orderBy("l_orderkey", "l_linenumber")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
     return (
-        t(spark, sf_dir, "lineitem")
-        .select((F.row_number().over(w) - 1).alias("rn"))
-        .select(F.floor(F.col("rn") / 5000).alias("batch_id"))
+        with_global_row_number(
+            li,
+            [("l_orderkey", False), ("l_linenumber", False)],
+            rank_col="__rn",
+        )
+        .select(F.floor((F.col("__rn") - 1) / 5000).alias("batch_id"))
         .groupBy("batch_id")
         .agg(F.count(F.lit(1)).alias("batch_rows"))
     )

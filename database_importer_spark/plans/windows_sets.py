@@ -131,14 +131,29 @@ def win_range_frame(spark, sf_dir):
     """,
 )
 def win_ntile(spark, sf_dir):
-    """Quartile assignment. NOTE: an unpartitioned window is a
-    single-task sort — fine for dimension-sized inputs; at fact-table
-    scale use approx percentile cutpoints + a broadcast bucketizer
-    instead (no global sort)."""
-    c = t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return c.select(
-        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("balance_quartile")
+    """Quartile assignment WITHOUT a single-task global window: the
+    two-phase distributed rank (percentile-cutpoint buckets →
+    partitioned window + broadcast offsets, operators/ranking.py)
+    yields the global row number and total, and NTILE is pure
+    arithmetic on those — ANSI tile-size rule, bit-identical to the
+    engines' ntile(). Scales to fact tables: every sort runs on
+    ~1/64th of the data."""
+    from database_importer_spark.operators.ranking import (
+        ntile_expr,
+        with_global_row_number,
+    )
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = with_global_row_number(
+        c,
+        [("c_acctbal", True), ("c_custkey", False)],
+        rank_col="__rn",
+        total_col="__total",
+    )
+    return ranked.select(
+        "c_custkey",
+        "c_acctbal",
+        ntile_expr("__rn", "__total", 4).alias("balance_quartile"),
     )
 
 
@@ -157,17 +172,20 @@ def win_ntile(spark, sf_dir):
 def sort_multikey(spark, sf_dir):
     """Multi-key global sort, materialized as an explicit rank column
     so the ordering itself is value-hash-checkable (a bare ORDER BY
-    is invisible to an order-insensitive hash). Spark executes this
-    as a range-partitioned sort (sampled boundaries, no single-node
-    bottleneck except the rank window itself)."""
-    o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return o.select(
-        "o_orderkey",
-        "o_totalprice",
-        "o_orderdate",
-        F.row_number().over(w).cast("bigint").alias("sort_rank"),
+    is invisible to an order-insensitive hash). The rank comes from
+    the two-phase distributed ranker (operators/ranking.py) — no
+    single-partition window anywhere; sorts run per-bucket in
+    parallel, offsets broadcast."""
+    from database_importer_spark.operators.ranking import with_global_row_number
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
     )
+    return with_global_row_number(
+        o,
+        [("o_totalprice", True), ("o_orderkey", False)],
+        rank_col="sort_rank",
+    ).select("o_orderkey", "o_totalprice", "o_orderdate", "sort_rank")
 
 
 @declare(

@@ -303,6 +303,65 @@ def test_scd2_rejects_duplicate_update_keys(spark):
         )
 
 
+def test_global_row_number_matches_window_semantics(spark):
+    """Two-phase distributed rank ≡ row_number() over a global window,
+    including duplicate bucket keys straddling cutpoints, descending
+    order, and fewer rows than buckets."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from database_importer_spark.operators.ranking import (
+        ntile_expr,
+        with_global_row_number,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([1.0, 2.0, 2.0, 3.0, 5.0, 8.0])) for i in range(501)]
+    df = spark.createDataFrame(rows, "id int, v double").repartition(13)
+
+    got = {
+        r["id"]: r["rn"]
+        for r in with_global_row_number(
+            df, [("v", True), ("id", False)], rank_col="rn", num_buckets=8
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), F.col("id"))
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+    # ntile arithmetic ≡ engine ntile, n not dividing total
+    ranked = with_global_row_number(
+        df, [("v", False), ("id", False)], rank_col="rn", total_col="tot",
+        num_buckets=8,
+    )
+    got_nt = {
+        r["id"]: r["q"]
+        for r in ranked.select("id", ntile_expr("rn", "tot", 7).alias("q")).collect()
+    }
+    w2 = Window.orderBy("v", "id")
+    want_nt = {
+        r["id"]: r["q"]
+        for r in df.select("id", F.ntile(7).over(w2).alias("q")).collect()
+    }
+    assert got_nt == want_nt
+
+    # tiny input: fewer rows than buckets / than tiles
+    tiny = spark.createDataFrame([(1, 9.0), (2, 4.0)], "id int, v double")
+    out = with_global_row_number(
+        tiny, [("v", False), ("id", False)], rank_col="rn", total_col="tot",
+        num_buckets=64,
+    )
+    rows2 = {r["id"]: (r["rn"], r["tot"]) for r in out.collect()}
+    assert rows2 == {2: (1, 2), 1: (2, 2)}
+    nt = {r["id"]: r["q"] for r in out.select(
+        "id", ntile_expr("rn", "tot", 4).alias("q")).collect()}
+    assert nt == {2: 1, 1: 2}
+
+
 def test_connected_components_chain_and_clusters(spark):
     from database_importer_spark.operators.components import connected_components
 

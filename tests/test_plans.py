@@ -126,6 +126,56 @@ def test_exact_dedup_shuffles_digest_not_payload(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_no_single_partition_window_on_fact_plans(spark):
+    """Round-2 guarantee: no declared batch query funnels a table
+    through an unpartitioned Window (the single-task global-sort
+    scale killer). A partitioned Window prints THREE bracket groups
+    (functions, partitionSpec, orderSpec); a global one prints two —
+    and is fed by Exchange SinglePartition + Sort. The four former
+    offenders (sort_multikey, stage_chunked_batches, win_ntile,
+    win_distribution_ranks) now use the two-phase distributed ranker
+    (operators/ranking.py)."""
+    keys = [
+        "sort_multikey",
+        "stage_chunked_batches",
+        "win_ntile",
+        "win_distribution_ranks",
+        "win_rank_topk_per_group",
+        "win_lag_lead",
+        "win_running_sum_rows",
+        "win_range_frame",
+        "win_first_last_nth",
+        "join_asof_nearest",
+    ]
+    for key in keys:
+        df = REGISTRY[key].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            stripped = line.lstrip(" +-:*")
+            if stripped.startswith("Window "):
+                assert stripped.count("], [") >= 2, (
+                    f"{key}: unpartitioned Window in plan:\n{line}"
+                )
+
+
+def test_distributed_rank_has_no_global_sort_exchange(spark):
+    """The ranker's full-data path must show a hash exchange on the
+    bucket id, never a SinglePartition exchange feeding a Sort."""
+    import re
+
+    for key in ("sort_multikey", "win_ntile"):
+        df = REGISTRY[key].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # SinglePartition exchanges are legal only under aggregates
+        # (1-row global aggs); none may feed a Sort.
+        for m in re.finditer(r"Exchange SinglePartition", plan):
+            context = plan[: m.start()].splitlines()[-3:]
+            assert not any("Sort [" in l for l in context), (
+                f"{key}: SinglePartition exchange near a Sort:\n{plan}"
+            )
+        assert "__rk_bucket" in plan  # bucketed path actually in use
+
+
 def test_merge_large_source_degrades_to_smj(spark):
     """broadcast=False: the merge becomes a shuffle join (sort-merge /
     shuffled-hash) — the graceful path when the update source is too
