@@ -136,6 +136,43 @@ def jaccard_pairs(
     )
 
 
+def lsh_params_for_recall(
+    jaccard_threshold: float,
+    target_recall: float = 0.9,
+    max_hashes: int = 256,
+) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) so the banding S-curve guarantees
+    ``P(candidate) = 1-(1-s^r)^b ≥ target_recall`` at
+    ``s = jaccard_threshold`` — the standard MMDS parameter rule.
+    Among parameterizations within the hash budget, prefer the fewest
+    total hashes, then the largest r (steeper curve ⇒ fewer
+    false-positive candidates to verify at scale)."""
+    import math
+
+    best: tuple[int, int] | None = None
+    best_cost: tuple[int, int] | None = None
+    for r in range(1, 17):
+        p = jaccard_threshold**r
+        if p >= 1.0:
+            b = 1
+        elif 1.0 - p == 1.0:
+            continue  # p below double precision: b would be astronomical
+        else:
+            b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p)))
+        hashes = b * r
+        if hashes > max_hashes:
+            continue
+        cost = (hashes, -r)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = (b, r), cost
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) within {max_hashes} hashes reaches "
+            f"recall {target_recall} at jaccard {jaccard_threshold}"
+        )
+    return best
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str,
@@ -144,11 +181,20 @@ def minhash_near_dups(
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band
     buckets → candidate pairs → exact-Jaccard verify ≥ threshold.
     LSH is a recall filter; the output is exact-verified, so false
-    positives never survive (false negatives are the recall cost)."""
+    positives never survive (false negatives are the recall cost).
+
+    ``target_recall``: when set, (bands, rows) are derived from the
+    S-curve so candidate recall at ``threshold`` is ≥ this floor
+    (lsh_params_for_recall), overriding num_hashes/bands. The floor
+    is empirically pinned in tests/test_operators.py."""
+    if target_recall is not None:
+        bands, rows_per_band = lsh_params_for_recall(threshold, target_recall)
+        num_hashes = bands * rows_per_band
     sh = shingles(df, text_col, shingle_n)
     sigs = minhash_signatures(sh, id_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
@@ -185,6 +231,87 @@ def hamming64(a, b):
     """Hamming distance between two 64-bit fingerprints (bit_count of
     XOR — built-in, codegen-friendly)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def embedding_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int = 8,
+    num_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup candidates via multi-table hyperplane LSH —
+    the scale path: NO cross join anywhere. Each of ``num_tables``
+    hash tables buckets every vector by the sign pattern of
+    ``num_planes`` seeded random projections (OR-amplification:
+    similar vectors collide in ≥1 table with probability
+    1-(1-p^r)^L, p = 1-θ/π); candidates are same-(table, bucket)
+    pairs via an equi hash join, verified with EXACT cosine, then
+    pair-deduped. Recall is tested against brute force in
+    tests/test_operators.py.
+
+    Shuffle shape at 100 TB: rows explode ×L into (table, bucket)
+    keys — the join shuffles (id, vector) pairs, never text; bucket
+    count 2^r bounds skew. (Here vectors ride along the candidate
+    join for one pass; with kilodim embeddings you'd shuffle ids only
+    and join vectors back by id.)
+    """
+    from database_importer_spark.operators.similarity import (
+        hyperplane_buckets,
+        random_hyperplanes,
+    )
+
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "n",
+        F.sqrt(F.expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)")),
+    )
+    bucketed = base
+    for tbl in range(num_tables):
+        planes = random_hyperplanes(dim, num_planes, seed + tbl)
+        bucketed = hyperplane_buckets(bucketed, "v", planes, out=f"__b{tbl}")
+    stacked = bucketed.select(
+        F.col(id_col),
+        "v",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tbl).alias("tbl"), F.col(f"__b{tbl}").alias("bucket")
+                    )
+                    for tbl in range(num_tables)
+                ]
+            )
+        ).alias("__tb"),
+    ).select(F.col(id_col), "v", "n", "__tb.tbl", "__tb.bucket")
+    a = stacked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+        "tbl",
+        "bucket",
+    )
+    b = stacked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+        "tbl",
+        "bucket",
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
+        .distinct()  # a pair can collide in several tables
+    )
 
 
 def embedding_cosine_pairs(

@@ -126,31 +126,56 @@ def llm_dedup_simhash(spark, sf_dir):
     )
 
 
-@declare(
-    "llm_dedup_embedding",
-    oracle="""
-    WITH pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+def _lsh_dedup_oracle(num_planes=8, num_tables=6, dim=64, seed=42) -> str:
+    """DuckDB twin of embedding_blocked_pairs: the hyperplanes are
+    deterministic (seeded), so their constants are baked into the SQL
+    and the candidate set — hence the whole result — is exact-oracle
+    checkable. Each projection uses the identical multiply-then-
+    sequential-sum shape as the Spark side, so the sign tests see
+    bit-identical doubles."""
+    from database_importer_spark.operators.similarity import random_hyperplanes
+
+    buckets = []
+    for tbl in range(num_tables):
+        planes = random_hyperplanes(dim, num_planes, seed + tbl)
+        bits = []
+        for p_i, plane in enumerate(planes):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            proj = (
+                f"list_sum(list_transform(generate_series(1, {dim}), "
+                f"i -> embedding[i]::DOUBLE * list_extract({arr}::DOUBLE[], i)))"
+            )
+            bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p_i} ELSE 0 END)")
+        buckets.append("(" + " + ".join(bits) + f") AS b{tbl}")
+    same_bucket = " OR ".join(f"a.b{l} = c.b{l}" for l in range(num_tables))
+    cosine = """
                list_sum(list_transform(generate_series(1, 64),
-                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                   i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
                / (sqrt(list_sum(list_transform(generate_series(1, 64),
                       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
                 * sqrt(list_sum(list_transform(generate_series(1, 64),
-                      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
-               AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    )
-    SELECT id_a, id_b, cosine FROM pairs
+                      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))
+    """
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {', '.join(buckets)} FROM embeddings)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b, {cosine} AS cosine
+    FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({same_bucket})
     ORDER BY cosine DESC, id_a, id_b LIMIT 20
-    """,
-)
+    """
+
+
+@declare("llm_dedup_embedding", oracle=_lsh_dedup_oracle())
 def llm_dedup_embedding(spark, sf_dir):
-    """Embedding near-dup: top-20 most-similar pairs by exact cosine
-    (double math on both sides → bit-identical). The scale path
-    blocks with hyperplane LSH first (similarity.hyperplane_buckets);
-    this is the oracle-checkable verify stage."""
+    """Embedding near-dup, the scale shape: multi-table hyperplane-LSH
+    blocking (operators/dedup.py embedding_blocked_pairs) produces
+    candidates via an equi join on (table, bucket) — NO cross join —
+    then exact cosine verifies; top-20 candidate pairs returned. The
+    oracle recomputes the identical blocked candidate set in DuckDB
+    (plane constants baked into the SQL), so the result stays exact-
+    hash-checkable. Recall vs brute force is pinned in
+    tests/test_operators.py."""
     e = t(spark, sf_dir, "embeddings")
-    pairs = D.embedding_cosine_pairs(e, "vec_id", "embedding", threshold=-1.0)
+    pairs = D.embedding_blocked_pairs(e, "vec_id", "embedding")
     return pairs.orderBy(F.col("cosine").desc(), "id_a", "id_b").limit(20)
 
 
@@ -532,25 +557,26 @@ def llm_dedup_clusters(spark, sf_dir):
     ),
     sh AS (
         SELECT doc_id, split,
-               unnest(list_distinct(list_transform(
+               sha256(unnest(list_distinct(list_transform(
                    generate_series(1, greatest(length(string_split(text, ' ')) - 4, 1)),
                    i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
-               ))) AS shingle
+               )))) AS shingle_h
         FROM assigned
     )
     SELECT e.doc_id AS eval_doc_id,
-           CAST(COUNT(DISTINCT e.shingle) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT e.shingle_h) AS BIGINT) AS n_shared_shingles,
            CAST(MIN(tr.doc_id) AS BIGINT) AS first_train_doc
-    FROM sh e JOIN sh tr ON e.shingle = tr.shingle
+    FROM sh e JOIN sh tr ON e.shingle_h = tr.shingle_h
     WHERE e.split = 'eval' AND tr.split = 'train'
     GROUP BY e.doc_id
     """,
 )
 def llm_contamination_check(spark, sf_dir):
     """Train/eval contamination: 5-gram shingle collisions between the
-    deterministic splits — the standard decontamination pass. Shuffle
-    carries (shingle-hash, doc) pairs; at 100 TB hash the shingles
-    (sha2) before the join so raw text never shuffles."""
+    deterministic splits — the standard decontamination pass. Shingles
+    are sha2-hashed BEFORE the join on both engine and oracle sides:
+    the shuffle carries fixed-width (digest, doc_id) pairs, raw text
+    never crosses an exchange — the 100 TB shape."""
     d = t(spark, sf_dir, "documents")
     h = (F.col("doc_id") * F.lit(2654435761)) % 100
     assigned = d.withColumn(
@@ -558,19 +584,20 @@ def llm_contamination_check(spark, sf_dir):
     )
     sh = (
         D.shingles(assigned.select("doc_id", "split", "text"), "text", 5)
-        .select("doc_id", "split", F.explode("shingle_arr").alias("shingle"))
+        .select("doc_id", "split", F.explode("shingle_arr").alias("__sh"))
+        .select("doc_id", "split", F.sha2("__sh", 256).alias("shingle_h"))
     )
     ev = sh.filter(F.col("split") == "eval").select(
-        F.col("doc_id").alias("eval_doc_id"), "shingle"
+        F.col("doc_id").alias("eval_doc_id"), "shingle_h"
     )
     tr = sh.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_doc_id"), "shingle"
+        F.col("doc_id").alias("train_doc_id"), "shingle_h"
     )
     return (
-        ev.join(tr, "shingle")
+        ev.join(tr, "shingle_h")
         .groupBy("eval_doc_id")
         .agg(
-            F.count_distinct("shingle").alias("n_shared_shingles"),
+            F.count_distinct("shingle_h").alias("n_shared_shingles"),
             F.min("train_doc_id").alias("first_train_doc"),
         )
     )

@@ -106,6 +106,65 @@ def test_lsh_pairs_subset_of_exact(spark, docs):
     assert len(lsh) > 0
 
 
+def test_lsh_params_s_curve_math():
+    """Parameter rule: chosen (b, r) must clear the recall floor at
+    the threshold, within the hash budget, preferring steep curves."""
+    import math
+
+    from database_importer_spark.operators.dedup import lsh_params_for_recall
+
+    for s, target in [(0.5, 0.9), (0.8, 0.9), (0.3, 0.8), (0.9, 0.95)]:
+        b, r = lsh_params_for_recall(s, target)
+        assert 1 - (1 - s**r) ** b >= target
+        assert b * r <= 256
+    with pytest.raises(ValueError):
+        lsh_params_for_recall(0.05, 0.999, max_hashes=16)
+
+
+def test_minhash_recall_floor_on_planted_corpus(spark):
+    """Round-2 gate (VERDICT #5): with target_recall=0.9 at Jaccard
+    ≥0.5, the LSH pipeline must recover ≥0.9 of the TRUE ≥0.5-Jaccard
+    pairs on a planted near-dup corpus. Fixed seeds — deterministic."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    for i in range(120):
+        words = [rng.choice(vocab) for _ in range(30)]
+        rows.append((i, " ".join(words)))
+        if i < 60:  # plant a near-dup: ~8% of words replaced (each
+            # replaced word kills up to 3 shingles → Jaccard ~0.5-0.8)
+            mutated = [
+                w if rng.random() > 0.08 else rng.choice(vocab) for w in words
+            ]
+            rows.append((1000 + i, " ".join(mutated)))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = D.shingles(corpus, "text", 3)
+    all_pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(sh, "doc_id", all_pairs)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert len(exact) >= 20  # corpus really contains ≥0.5-Jaccard pairs
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dups(
+            corpus, "text", "doc_id", threshold=0.5, target_recall=0.9
+        ).collect()
+    }
+    assert found <= exact  # exact-Jaccard verify: no false positives
+    recall = len(found & exact) / len(exact)
+    assert recall >= 0.9, f"MinHash-LSH recall {recall:.3f} < 0.9"
+
+
 def test_simhash_identical_texts_collide(spark):
     df = spark.createDataFrame(
         [(1, "spark query engine fast"), (2, "spark query engine fast"),
@@ -155,6 +214,47 @@ def test_lsh_topk_recall(spark, emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3  # 2 planes → 4 buckets → ~25% chance baseline
+
+
+def test_embedding_blocked_pairs_recall_on_planted_dups(spark):
+    """Round-2 gate: multi-table LSH blocking must recover ≥0.9 of
+    the TRUE near-dup pairs (cosine ≥ 0.95) on a planted-duplicate
+    corpus. r=8 planes, L=6 tables: p_pair = 1-(1-p^8)^6 with
+    p = 1-θ/π ≈ 0.90 at cosine 0.95 → ≈0.96 theoretical recall.
+    Fixed seeds everywhere — deterministic."""
+    import math
+    import random
+
+    rng = random.Random(123)
+    dim = 64
+    base = []
+    for i in range(80):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in v))
+        base.append((i, [x / nrm for x in v]))
+    planted = []
+    for j in range(40):  # jittered near-dups of the first 40
+        i, v = base[j]
+        # noise norm ≈ σ·√dim = 0.24 → cosine ≈ 1/√(1+0.24²) ≈ 0.97
+        w = [x + rng.gauss(0.0, 0.03) for x in v]
+        planted.append((1000 + i, w))
+    df = spark.createDataFrame(base + planted, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.95)
+        .collect()
+    }
+    assert len(exact) >= 20  # the corpus really contains near-dups
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_blocked_pairs(df, "vec_id", "embedding", dim=dim)
+        .filter(F.col("cosine") >= 0.95)
+        .collect()
+    }
+    assert blocked <= exact  # exact-cosine verify: no false positives
+    recall = len(blocked & exact) / len(exact)
+    assert recall >= 0.9, f"LSH blocking recall {recall:.3f} < 0.9"
 
 
 # --- multimodal -----------------------------------------------------

@@ -126,6 +126,16 @@ def test_exact_dedup_shuffles_digest_not_payload(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_embedding_dedup_is_blocked_not_allpairs(spark):
+    """llm_dedup_embedding must candidate-generate via the LSH
+    equi join on (table, bucket) — never a cross join of the
+    embedding table against itself."""
+    plan = explain(spark, "llm_dedup_embedding")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
 def test_no_single_partition_window_on_fact_plans(spark):
     """Round-2 guarantee: no declared batch query funnels a table
     through an unpartitioned Window (the single-task global-sort
