@@ -117,14 +117,107 @@ def list_sources(spark: SparkSession) -> dict[str, list[str]]:
     return out
 
 
+# OOXML spreadsheet namespaces (ECMA-376; public spec)
+_XLSX_NS = {
+    "m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main",
+    "r": "http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+}
+
+
+def _xlsx_col_index(cell_ref: str) -> int:
+    """'BC12' → 0-based column 54 (the letter prefix, base-26)."""
+    idx = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            idx = idx * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return idx - 1
+
+
+def _read_xlsx_stdlib(path: str) -> dict:
+    """Minimal .xlsx parser on stdlib only (zipfile + ElementTree):
+    xlsx is a zip of XML parts per ECMA-376. Covers what the
+    reference's ``pd.read_excel(dtype=object)`` produces for tabular
+    sheets — shared/inline strings, numbers (int when exactly
+    integral, like an untyped openpyxl load), booleans, blank cells →
+    None, first row as header. No date-style decoding (serial numbers
+    surface as numbers) — the reference's own tests don't cover Excel
+    dates either. Every sheet → pandas DataFrame with dtype=object."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    import pandas as pd
+
+    m = f"{{{_XLSX_NS['m']}}}"
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_target = {rel.get("Id"): rel.get("Target") for rel in rels}
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in ss.findall("m:si", _XLSX_NS):
+                shared.append("".join(t.text or "" for t in si.iter(f"{m}t")))
+
+        sheets: dict = {}
+        for sh in wb.findall("m:sheets/m:sheet", _XLSX_NS):
+            name = sh.get("name")
+            target = rid_target[sh.get(f"{{{_XLSX_NS['r']}}}id")].lstrip("/")
+            if not target.startswith("xl/"):
+                target = "xl/" + target
+            root = ET.fromstring(z.read(target))
+            raw_rows: list[dict[int, object]] = []
+            for row in root.findall("m:sheetData/m:row", _XLSX_NS):
+                cells: dict[int, object] = {}
+                for c in row.findall("m:c", _XLSX_NS):
+                    ci = _xlsx_col_index(c.get("r", "A"))
+                    ctype = c.get("t", "n")
+                    v = c.find("m:v", _XLSX_NS)
+                    if ctype == "inlineStr":
+                        is_el = c.find("m:is", _XLSX_NS)
+                        val = (
+                            "".join(t.text or "" for t in is_el.iter(f"{m}t"))
+                            if is_el is not None
+                            else None
+                        )
+                    elif v is None or v.text is None:
+                        val = None
+                    elif ctype == "s":
+                        val = shared[int(v.text)]
+                    elif ctype == "b":
+                        val = v.text == "1"
+                    elif ctype == "str":
+                        val = v.text
+                    else:  # numeric
+                        num = float(v.text)
+                        val = (
+                            int(num)
+                            if num.is_integer()
+                            and "." not in v.text
+                            and "e" not in v.text.lower()
+                            else num
+                        )
+                    cells[ci] = val
+                raw_rows.append(cells)
+            ncols = max((max(r) + 1 for r in raw_rows if r), default=0)
+            dense = [[r.get(i) for i in range(ncols)] for r in raw_rows]
+            header = [str(h) for h in dense[0]] if dense else []
+            sheets[name] = pd.DataFrame(dense[1:], columns=header, dtype=object)
+        return sheets
+
+
 def ingest_excel(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """Whole-workbook ingest: every sheet → one DataFrame.
 
     Reference parity for src_file_scan (window.py:294-311): untyped
     load (``dtype=object``) then ``convert_dtypes`` inference, here
     followed by Arrow-backed ``createDataFrame`` so the data plane is
-    JVM-side immediately after parse. Gated on openpyxl presence —
-    parquet is the engine's native source.
+    JVM-side immediately after parse. Parses via pandas/openpyxl when
+    available, else the stdlib ECMA-376 reader (_read_xlsx_stdlib) —
+    either way the path RUNS (tests/test_operators.py e2e); parquet
+    remains the engine's native scale source.
     """
     try:
         import pandas as pd
@@ -132,10 +225,8 @@ def ingest_excel(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         raise NotImplementedError("pandas is required for Excel ingest") from exc
     try:
         sheets = pd.read_excel(path, sheet_name=None, dtype=object)
-    except ImportError as exc:  # openpyxl missing in this container
-        raise NotImplementedError(
-            "Excel ingest requires openpyxl; use parquet/csv/json sources"
-        ) from exc
+    except ImportError:  # openpyxl missing: stdlib ECMA-376 fallback
+        sheets = _read_xlsx_stdlib(path)
     out: dict[str, DataFrame] = {}
     for sheet, pdf in sheets.items():
         pdf = pdf.convert_dtypes()
