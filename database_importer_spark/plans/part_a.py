@@ -299,9 +299,7 @@ def insert_anti_join(spark, sf_dir):
     return src.join(target.select("o_orderkey"), "o_orderkey", "left_anti")
 
 
-@declare(
-    "upsert_merge_full",
-    oracle=f"""
+_UPSERT_ORACLE = f"""
     WITH u AS ({_U_SQL}), s AS ({_INS_SQL})
     SELECT a.o_orderkey, a.o_custkey,
            CASE WHEN u.o_orderkey IS NOT NULL
@@ -315,8 +313,10 @@ def insert_anti_join(spark, sf_dir):
            NULL AS o_orderdate, NULL AS o_orderpriority
     FROM s WHERE NOT EXISTS
         (SELECT 1 FROM orders a WHERE a.o_orderkey = s.o_orderkey)
-    """,
-)
+    """
+
+
+@declare("upsert_merge_full", oracle=_UPSERT_ORACLE)
 def upsert_merge_full(spark, sf_dir):
     """Full MERGE: update matched + insert unmatched under one staged
     scan — the reference's intended end-state ``run(update=True,
@@ -325,6 +325,76 @@ def upsert_merge_full(spark, sf_dir):
     src = _updates_df(spark, sf_dir).unionByName(_insert_source_df(spark, sf_dir))
     m = Merger(target, src, join_on=["o_orderkey"])
     return m.merged(update=True, insert=True)
+
+
+@declare("sink_jdbc_live_merge", oracle=_UPSERT_ORACLE)
+def sink_jdbc_live_merge(spark, sf_dir):
+    """The LIVE JDBC data plane (reference importer.py:253-309),
+    executed for real: orders is bulk-loaded into an embedded Derby
+    database over ``df.write.jdbc`` (per-partition executor
+    connections, 5,000-row array-bound batches), the update∪insert
+    source is staged the same way, the generated staged-merge SQL
+    (sources/jdbc_sink.py, derby dialect) runs server-side over one
+    driver connection, and the post-merge table is read back through
+    ``spark.read.jdbc``. Must hash-match the pure-DataFrame
+    ``upsert_merge_full`` oracle — the server-side and Spark-side
+    merges are the same operator.
+
+    Scale note: at 100 TB the JDBC hop is for dimension/serving
+    tables (the reference's whole use case), not the fact path —
+    staging parallelism = DataFrame partitions, merge cost is
+    server-side. The in-test Derby DB is scratch (tempdir, shut down
+    and removed after the read-back is checkpointed)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from database_importer_spark.sources import jdbc_sink as J
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    tmp = tempfile.mkdtemp(prefix="dbis_derby_")
+    db = f"{tmp}/db"
+    url = J.derby_url(db, create=True)
+    try:
+        (
+            t(spark, sf_dir, "orders").select(*cols)
+            .write.mode("overwrite")
+            .option("batchsize", J.BATCH_SIZE)
+            .option(
+                "createTableColumnTypes",
+                "o_orderstatus VARCHAR(8), o_orderpriority VARCHAR(32)",
+            )
+            .jdbc(url, "ORDERS_TGT")
+        )
+        plan = J.build_merge_plan(
+            "ORDERS_TGT",
+            ["o_orderkey"],
+            ["o_totalprice", "o_orderstatus"],
+            dialect="derby",
+            run_id=uuid.uuid4().hex[:8],
+        )
+        J.execute_statements(spark, url, [plan.drop_staging, plan.create_staging])
+        src = _updates_df(spark, sf_dir).unionByName(_insert_source_df(spark, sf_dir))
+        J.stage_dataframe(
+            src.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+            url,
+            plan.staging,
+        )
+        J.execute_statements(
+            spark, url, [plan.update, plan.insert, plan.drop_staging_after]
+        )
+        # materialize before the scratch DB disappears
+        return (
+            spark.read.jdbc(url, "ORDERS_TGT")
+            .select(*cols)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        J.derby_shutdown(spark, db)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # --- A.5 scalar/type layer as data queries -------------------------

@@ -38,6 +38,11 @@ BATCH_SIZE = 5000  # reference parity: importer.py:14
 _QUOTERS = {
     "mssql": lambda s: "[" + s.replace("]", "]]") + "]",
     "sqlite": lambda s: '"' + s.replace('"', '""') + '"',
+    # Derby: ANSI double-quote identifiers. Live-tested in this
+    # container — Spark ships the embedded Derby driver, so the full
+    # stage → server-side merge path runs under pytest and as the
+    # declared query ``sink_jdbc_live_merge``.
+    "derby": lambda s: '"' + s.replace('"', '""') + '"',
 }
 
 
@@ -93,6 +98,14 @@ def build_merge_plan(
             f"DROP TABLE {staging}"
         )
         create = f"SELECT TOP 0 {col_list} INTO {staging} FROM {target}"
+    elif dialect == "derby":
+        # Derby has no IF EXISTS / LIMIT 0; the executor tolerates
+        # drop-of-missing, and WITH NO DATA clones the schema.
+        drop = f"DROP TABLE {staging}"
+        create = (
+            f"CREATE TABLE {staging} AS "
+            f"SELECT {col_list} FROM {target} WITH NO DATA"
+        )
     else:
         drop = f"DROP TABLE IF EXISTS {staging}"
         create = (
@@ -109,7 +122,7 @@ def build_merge_plan(
                 f"UPDATE a SET {sets} FROM {target} a "
                 f"INNER JOIN {staging} b ON {on}"
             )
-        else:
+        else:  # sqlite / derby: correlated-subquery UPDATE (ANSI)
             sets = ", ".join(
                 f"{q(c)} = (SELECT b.{q(c)} FROM {staging} b WHERE "
                 + " AND ".join(f"b.{q(k)} = {target}.{q(k)}" for k in join_on)
@@ -164,3 +177,44 @@ def require_jdbc(spark) -> bool:
         return True
     except Exception:
         return False
+
+
+def execute_statements(
+    spark, url: str, statements: list[str], tolerate_missing: bool = True
+) -> None:
+    """Run the merge statements server-side over ONE driver-held JDBC
+    connection (the reference's single-connection merge transaction,
+    importer.py:293-309) via the session JVM's DriverManager. A
+    DROP of a not-yet-existing staging table is tolerated — that is
+    the idempotent pre-clean, importer.py:301."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for sql in statements:
+            if sql is None:
+                continue
+            try:
+                st.execute(sql)
+            except Exception:
+                if not (tolerate_missing and sql.strip().startswith("DROP ")):
+                    raise
+    finally:
+        conn.close()
+
+
+def derby_url(db_dir: str, create: bool = False) -> str:
+    """Embedded-Derby JDBC URL (driver ships with Spark — in-JVM, no
+    server process; the live-test backend for the staged merge)."""
+    return f"jdbc:derby:{db_dir}{';create=true' if create else ''}"
+
+
+def derby_shutdown(spark, db_dir: str) -> None:
+    """Cleanly shut the embedded database down (Derby signals success
+    with SQLState 08006 — an exception — so swallow it)."""
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db_dir};shutdown=true"
+        )
+    except Exception:
+        pass

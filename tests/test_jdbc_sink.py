@@ -45,6 +45,78 @@ def test_validation_errors():
         build_merge_plan("t", ["k"], ["v"], update=False, insert=False)
 
 
+def test_derby_plan_shapes():
+    p = build_merge_plan(
+        "GROCERIES", ["id"], ["quantity", "price"], dialect="derby", run_id="t3"
+    )
+    assert p.create_staging.endswith("WITH NO DATA")
+    assert "IF EXISTS" not in p.drop_staging  # Derby has no IF EXISTS
+    assert "WHERE EXISTS" in p.update  # correlated-subquery form
+    assert "NOT EXISTS" in p.insert
+
+
+def test_live_jdbc_stage_and_merge_derby(spark, tmp_path):
+    """The REAL data plane, end-to-end in-container: Spark executors
+    array-bind batches into a Derby staging table via df.write.jdbc,
+    the generated merge statements run server-side over one driver
+    connection, and the post-merge table read back via spark.read.jdbc
+    matches the reference's groceries golden rows
+    (reference tests/test_importer.py:146-164)."""
+    from database_importer_spark.sources.jdbc_sink import (
+        derby_shutdown,
+        derby_url,
+        execute_statements,
+        stage_dataframe,
+    )
+
+    db = str(tmp_path / "db")
+    url = derby_url(db, create=True)
+    target = spark.createDataFrame(
+        [
+            ("ID000001", "Apple", 5, 10.0),
+            ("ID000002", "Pear", 4, 9.0),
+            ("ID000003", "Orange", 3, 8.0),
+            ("ID000004", "Lemon", 6, 7.0),
+        ],
+        "id string, item string, quantity int, price double",
+    )
+    # Spark's DerbyDialect maps StringType→CLOB, which Derby cannot
+    # compare in the merge join — pin key/text columns to VARCHAR.
+    (
+        target.write.mode("overwrite")
+        .option("createTableColumnTypes", "id VARCHAR(64), item VARCHAR(64)")
+        .jdbc(url, "GROCERIES")
+    )
+
+    p = build_merge_plan(
+        "GROCERIES", ["id"], ["quantity", "price"], dialect="derby", run_id="live"
+    )
+    execute_statements(spark, url, [p.drop_staging, p.create_staging])
+    updates = spark.createDataFrame(
+        [("ID000001", 15, 20.0), ("ID000009", 42, 1.0)],
+        "id string, quantity int, price double",
+    ).repartition(3)  # several executor connections, like a real cluster
+    stage_dataframe(updates, url, p.staging)
+    execute_statements(
+        spark, url, [p.update, p.insert, p.drop_staging_after]
+    )
+
+    got = sorted(
+        (r["id"], r["quantity"], r["price"])
+        for r in spark.read.jdbc(url, "GROCERIES")
+        .select("id", "quantity", "price")
+        .collect()
+    )
+    derby_shutdown(spark, db)
+    assert got == [
+        ("ID000001", 15, 20.0),
+        ("ID000002", 4, 9.0),
+        ("ID000003", 3, 8.0),
+        ("ID000004", 6, 7.0),
+        ("ID000009", 42, 1.0),
+    ]
+
+
 def test_sqlite_statements_execute_end_to_end():
     """Golden-row check: run the generated sqlite statements against a
     real in-memory SQLite with the reference's groceries fixture —
