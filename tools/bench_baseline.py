@@ -7,7 +7,6 @@ Usage: python tools/bench_baseline.py [sf_dir]
 from __future__ import annotations
 
 import os
-import statistics
 import sys
 import time
 
@@ -33,25 +32,42 @@ def main() -> None:
     for name in TABLES:
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
 
+    # This host (virtualized, shared) shows rare multi-second stalls
+    # that poison any single run; MIN of N is the standard noise-floor
+    # estimator and is applied to BOTH engines identically. Per-run
+    # arrays go to stderr so the spread is auditable.
+    runs = max(RUNS, 5)
     rows = []
     for key in HEADLINE:
         q = REGISTRY[key]
         materialize(q.fn(spark, sf_dir))  # warm
         stimes = []
-        for _ in range(RUNS):
+        for _ in range(runs):
             t0 = time.perf_counter()
             materialize(q.fn(spark, sf_dir))
             stimes.append(time.perf_counter() - t0)
-        s_ms = statistics.median(stimes) * 1000
+        s_ms = min(stimes) * 1000
+        print(f"  {key} spark {[round(x,3) for x in stimes]}", file=sys.stderr)
 
         if q.oracle is not None:
-            con.sql(q.oracle).fetchall()  # warm
+            # engine-side materialization (CREATE TABLE AS) — the fair
+            # twin of Spark's noop sink: full compute of every output
+            # column, no Python-object fetch cost on either side.
+            def run_duck():
+                con.execute("DROP TABLE IF EXISTS __bench_out")
+                con.execute(f"CREATE TEMP TABLE __bench_out AS ({q.oracle})")
+
+            run_duck()  # warm
             dtimes = []
-            for _ in range(RUNS):
+            for _ in range(runs):
                 t0 = time.perf_counter()
-                con.sql(q.oracle).fetchall()
+                run_duck()
                 dtimes.append(time.perf_counter() - t0)
-            d_ms = statistics.median(dtimes) * 1000
+            d_ms = min(dtimes) * 1000
+            print(f"  {key} duck  {[round(x,3) for x in dtimes]}", file=sys.stderr)
+            # free the materialized output before the next query's
+            # Spark timing — holding a 6M-row table would poison it
+            con.execute("DROP TABLE IF EXISTS __bench_out")
             ratio = s_ms / d_ms if d_ms else float("inf")
             rows.append((key, s_ms, d_ms, ratio))
         else:
