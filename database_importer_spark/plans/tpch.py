@@ -385,6 +385,223 @@ def tpch_q17(spark, sf_dir):
 
 
 @declare(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER)
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    """Q7: bilateral trade volume by year — two aliases of the same
+    broadcast nation dim (supplier side and customer side), the
+    disjunctive nation-pair predicate applied after both joins. Facts
+    shuffle once on their join keys; both nation joins broadcast, so
+    the disjunction never forces a cartesian."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(REV()).cast("double").alias("revenue"))
+    )
+
+
+@declare(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+               {REV_SQL} AS volume,
+               n1.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                         ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """Q8 (adapted: supplier nation from s_nationkey — no partsupp
+    table in the schema): one nation's share of a region's market for
+    one part type, by year. Star shape of Q5 plus a second broadcast
+    nation alias; the share is a conditional aggregate, not a
+    self-join."""
+    p = F.broadcast(t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY"))
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_reg")
+        )
+    )
+    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    vol = REV()
+    nat_vol = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .join(r, F.col("n2_reg") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(nat_vol).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@declare(
+    "tpch_q16_supplier_part_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """Q16 (adapted: supplier-part relationships observed from
+    lineitem facts — no partsupp table): distinct suppliers per
+    part attribute bucket. COUNT(DISTINCT) over a broadcast-dim
+    join; Spark expands to a two-level aggregate (distinct on
+    (brand,type,size,suppkey) partial-then-final, then count) — no
+    row ever carries more than the 4 grouping columns."""
+    p = F.broadcast(
+        t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@declare(
+    "tpch_q22_dormant_customers",
+    oracle="""
+    WITH thr AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    """Q22 (adapted: nation stands in for the phone country code —
+    no c_phone column; "no orders at all" relaxed to "no orders since
+    2000" because the synthetic data gives every customer at least
+    one order): wealthy-but-dormant customers per country. The
+    threshold is a 1-row broadcast aggregate (scalar-subquery twin,
+    no driver action); the dormancy test is a left-anti join against
+    the date-pruned orders scan. DECIMAL-accumulated average so the
+    boundary comparison is bit-identical on both engines."""
+    cu = t(spark, sf_dir, "customer")
+    thr = F.broadcast(
+        cu.filter(F.col("c_acctbal") > 0.0).agg(
+            (
+                F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        cu.crossJoin(thr)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cu.c_custkey == recent.o_custkey, "left_anti")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@declare(
     "tpch_q19_disjunctive_predicates",
     oracle=f"""
     SELECT CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,

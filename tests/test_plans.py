@@ -210,3 +210,28 @@ def test_merge_large_source_degrades_to_smj(spark):
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q7_q8_nation_aliases_broadcast_no_cartesian(spark):
+    """Q7/Q8 join the nation dim twice (supplier side + customer
+    side); both aliases must broadcast and the disjunctive nation-pair
+    predicate must stay a residual filter, never a cartesian."""
+    for key in ("tpch_q7_volume_shipping", "tpch_q8_market_share"):
+        plan = explain(spark, key)
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+        tree = plan.split("\n\n")[0]
+        assert tree.count("BroadcastHashJoin") >= 2, key
+
+
+def test_q22_threshold_is_broadcast_not_driver_action(spark):
+    """The Q22 acctbal threshold is a 1-row broadcast aggregate inside
+    the plan (scalar-subquery twin) and dormancy is a left-anti join —
+    one lazy plan, no .collect() round-trip, no cartesian blow-up."""
+    plan = explain(spark, "tpch_q22_dormant_customers")
+    assert "LeftAnti" in plan
+    # the 1-row threshold joins via broadcast NLJ (inner, 1 row) —
+    # acceptable; a CartesianProduct (non-broadcast) is not
+    assert "CartesianProduct" not in plan
+    date_prune = [l for l in plan.splitlines() if "2000-01-01" in l]
+    assert date_prune, "orders scan must be date-pruned for the anti join"
