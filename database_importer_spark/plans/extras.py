@@ -425,3 +425,91 @@ def agg_approx_percentile(spark, sf_dir):
             <= 0.05 * F.greatest(F.abs(F.col("exact_p50")), F.lit(1.0))
         ).alias("approx_within_tolerance"),
     )
+
+
+@declare(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS VARCHAR)[:10] AS bucket,
+               value,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '#' ||
+                   lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+        FROM events
+    )
+    SELECT event_type, bucket,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM keyed GROUP BY event_type, bucket
+    """,
+)
+def ts_resample_ohlc(spark, sf_dir):
+    """Downsample a tick stream to per-day OHLC bars per series —
+    the time-series resample every metrics/trading pipeline runs.
+    Open/close are order-statistics (min_by/max_by over a composite
+    (ts, event_id) key — the tiebreak makes duplicate timestamps
+    deterministic on both engines, the gap_fill_ffill lesson applied
+    up front). One partial+final hash aggregate: no window, no sort,
+    shuffle carries only (series, bucket) groups. At 100 TB this is
+    the same single exchange regardless of ticks-per-bar skew."""
+    ev = t(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("#"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bucket"),
+            "value",
+            ord_key.alias("ord"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.expr("min_by(value, ord)").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, ord)").alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+
+
+@declare(
+    "agg_histogram_fixed_bins",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bin,
+           CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS min_val,
+           MAX(o_totalprice) AS max_val
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def agg_histogram_fixed_bins(spark, sf_dir):
+    """Fixed-width numeric histogram (the profiling primitive behind
+    data-quality dashboards): bin id is a pure row-local projection,
+    then one partial+final count aggregate — the shuffle carries at
+    most n_bins rows per task regardless of table size, the textbook
+    map-side-combine win. (For unknown ranges, compose with the
+    approx-percentile sketch to pick bounds first.)"""
+    o = t(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / 50000).cast("int")
+    return (
+        o.select(
+            bin_col.alias("bin"),
+            (bin_col * 50000).cast("double").alias("bin_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_val"),
+            F.max("o_totalprice").alias("max_val"),
+        )
+    )

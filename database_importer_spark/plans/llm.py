@@ -622,3 +622,69 @@ def llm_pii_scrub(spark, sf_dir):
         F.regexp_replace("text", "[0-9]+", "<NUM>").alias("scrubbed"),
         F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_masked"),
     )
+
+
+@declare(
+    "llm_sample_stratified",
+    oracle="""
+    WITH sampled AS (
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % 100 <
+              CASE WHEN lang = 'en' THEN 20 ELSE 80 END
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM sampled GROUP BY lang
+    """,
+)
+def llm_sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling — the training-data
+    rebalance pass (downsample the majority language, keep the rest):
+    keep rate is a CASE over the stratum, membership is multiplicative
+    key hashing (Knuth constant, same scheme as
+    ``llm_split_train_val``) — reproducible across runs, engines and
+    cluster sizes, no ``rand()``, no per-stratum pass. Scale: one
+    stateless row-local filter, no shuffle before the (tiny) audit
+    aggregate; at 100 TB this is a map-only scan. Checksum pins exact
+    membership. (Reference has no sampling surface; this extends the
+    mandated LLM-pipeline block.)"""
+    d = t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 20).otherwise(80)
+    keep = (F.col("doc_id") * F.lit(2654435761)) % 100 < rate
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+@declare(
+    "llm_cap_per_source",
+    oracle="""
+    SELECT source, doc_id FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def llm_cap_per_source(spark, sf_dir):
+    """Per-source document cap (keep the 10 smallest doc_ids per
+    source) — the domain-balancing pass that stops one crawl domain
+    from dominating a training mix. Partitioned window with a full
+    deterministic order key, so every task ranks only its own
+    source's rows; no global sort, no single-partition exchange
+    (tests/test_plans.py pins that invariant for all fact windows).
+    At 100 TB: shuffle on source (salting applies if one domain is
+    pathological), then row-local rank+filter."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("source", "doc_id")
+    )

@@ -527,3 +527,53 @@ def agg_collect_sorted(spark, sf_dir):
             F.size(F.collect_list("n_name")).alias("n_nations"),
         )
     )
+
+
+@declare(
+    "join_skew_salted",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               CAST(length(event_type) AS BIGINT) AS weight
+        FROM events
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value * d.weight AS DECIMAL(25,4)))
+                AS DOUBLE) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-resistant equi join via operators/partitioning.salted_join:
+    the fact side gets a deterministic per-row salt (xxhash64 of its
+    columns — content-stable, no rand()), the dim side replicates once
+    per salt value, and the join key becomes (event_type, salt). A key
+    holding p%% of the fact table spreads over 16 tasks instead of
+    hot-spotting one; result is row-identical to the unsalted join
+    (the oracle IS the unsalted join). The merge hint forces the
+    shuffle path — with a broadcast join salting would be moot, which
+    is exactly when you'd not use this operator. Scale: dim grows
+    ×16 (replication-sized dims only); fact shuffles once on the
+    salted key. AQE skew-split handles moderate skew at runtime;
+    this is the static fallback for one-key-dominates cases."""
+    from database_importer_spark.operators.partitioning import salted_join
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.length("event_type").cast("bigint").alias("weight"),
+        )
+        .hint("merge")
+    )
+    joined = salted_join(ev, dim, on=["event_type"], salt_buckets=16)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value") * F.col("weight")).cast(DEC))
+        .cast("double")
+        .alias("weighted_value"),
+    )

@@ -235,3 +235,20 @@ def test_q22_threshold_is_broadcast_not_driver_action(spark):
     assert "CartesianProduct" not in plan
     date_prune = [l for l in plan.splitlines() if "2000-01-01" in l]
     assert date_prune, "orders scan must be date-pruned for the anti join"
+
+
+def test_salted_join_spreads_key_and_stays_shuffle(spark):
+    """join_skew_salted: the join key must include the salt column
+    (that's the whole point — a hot key spreads over salt_buckets
+    tasks) and the dim side must take the shuffle path, because a
+    broadcast join has no skew problem to solve."""
+    plan = explain(spark, "join_skew_salted")
+    assert "__dbis_salt" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cap_per_source_window_is_partitioned(spark):
+    plan = explain(spark, "llm_cap_per_source")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
