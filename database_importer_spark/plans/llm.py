@@ -688,3 +688,42 @@ def llm_cap_per_source(spark, sf_dir):
         .filter(F.col("rn") <= 10)
         .select("source", "doc_id")
     )
+
+
+@declare(
+    "llm_url_parse",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/docs/' ||
+                   CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param
+    FROM urls
+    """,
+)
+def llm_url_parse(spark, sf_dir):
+    """URL decomposition (host / path / query param) — the
+    provenance-tracking primitive of every crawl pipeline (domain
+    blocklists, per-site caps, dedup by canonical URL). Spark side
+    uses the built-in ``parse_url`` (JVM, codegen); the oracle
+    re-parses with regexps so both engines genuinely parse rather
+    than reconstruct. URLs are synthesized deterministically from
+    (source, doc_id, lang) since the corpus has no URL column.
+    Scale: stateless row-local projection, map-only."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -577,3 +577,30 @@ def join_skew_salted(spark, sf_dir):
         .cast("double")
         .alias("weighted_value"),
     )
+
+
+@declare(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_checksum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    """ORC as a second columnar source/sink (Spark-native writer +
+    vectorized reader, same pushdown/pruning machinery as parquet):
+    write the nation table to ORC, read it back, aggregate. The
+    oracle runs on the original parquet — value equality proves the
+    round trip is lossless. At scale ORC matters for interop with
+    Hive-lineage warehouses; the plan is identical in shape to the
+    parquet scan (BatchScan orc ... ReadSchema pruned)."""
+    n = t(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(), "dbis_scan_orc")
+    n.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").alias("key_checksum"),
+    )
