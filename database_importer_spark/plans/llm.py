@@ -727,3 +727,66 @@ def llm_url_parse(spark, sf_dir):
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@declare(
+    "llm_embedding_stats",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)), 6)
+               AS avg_norm,
+           ROUND(MAX(ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)), 6)
+               AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def llm_embedding_stats(spark, sf_dir):
+    """Per-label embedding audit (count, average/max L2 norm) — the
+    sanity pass before any ANN/dedup stage (un-normalized or
+    degenerate vectors poison cosine math). The norm is a JVM-side
+    higher-order fold over the array column — no explode (the 64-dim
+    payload never becomes 64 rows), no Python. ROUND(6) on both
+    engines absorbs float→double ulp drift per the determinism rules.
+    Scale: map-only projection then a tiny partial+final aggregate."""
+    e = t(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    return (
+        e.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@declare("llm_pack_sequences", oracle=None)
+def llm_pack_sequences(spark, sf_dir):
+    """Sample packing for pretraining: documents → fixed-token-budget
+    bins via operators/packing.pack_sequences (first-fit-decreasing
+    inside deterministic hash buckets, one Arrow batch per bucket —
+    embarrassingly parallel, slightly worse fill than a global pack,
+    fully deterministic). Token counts estimated at n_chars/4. FFD is
+    inherently sequential, hence rows-only (no SQL oracle exists);
+    the packing invariants — every doc assigned exactly once, no bin
+    over budget, fill accounting exact — are pytest-pinned in
+    tests/test_operators.py."""
+    from database_importer_spark.operators.packing import pack_sequences
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") / 4).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", max_tokens=2048)
