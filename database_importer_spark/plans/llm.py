@@ -790,3 +790,67 @@ def llm_pack_sequences(spark, sf_dir):
         "doc_id", (F.col("n_chars") / 4).cast("bigint").alias("n_tokens")
     )
     return pack_sequences(d, "doc_id", "n_tokens", max_tokens=2048)
+
+
+@declare(
+    "llm_pipeline_end2end",
+    oracle="""
+    WITH deduped AS (
+        SELECT min(doc_id) AS doc_id,
+               arg_min(lang, doc_id) AS lang,
+               arg_min(n_chars, doc_id) AS n_chars,
+               min(doc_id) * 2654435761 AS h
+        FROM documents
+        GROUP BY text
+    ),
+    filtered AS (
+        SELECT * FROM deduped
+        WHERE n_chars BETWEEN 50 AND 10000
+    ),
+    split AS (
+        SELECT lang, n_chars,
+               CASE WHEN h % 100 < 90 THEN 'train' ELSE 'val' END AS part
+        FROM filtered
+    )
+    SELECT part, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(25,4))) AS DOUBLE) AS total_chars
+    FROM split GROUP BY part, lang
+    """,
+)
+def llm_pipeline_end2end(spark, sf_dir):
+    """The whole training-data pipeline as ONE lazy plan: exact dedup
+    (keep the smallest doc_id per content digest — shuffle carries
+    (digest, id, small metadata), never text) → quality gate (length
+    band) → deterministic train/val split (multiplicative key hash) →
+    per-(split, lang) audit aggregate. No intermediate
+    materialization, no driver action: Catalyst fuses the filter into
+    the dedup aggregate's output and the whole thing is two exchanges
+    end to end (digest groupBy, final audit groupBy). This is the
+    composition story — each stage is also a standalone declared op
+    ([llm_dedup_exact], [llm_text_stats], [llm_split_train_val]).
+    Both engines carry the representative's metadata with
+    min_by/arg_min on doc_id, so the surviving row is deterministic
+    even if copies ever disagreed on metadata."""
+    d = t(spark, sf_dir, "documents")
+    deduped = (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("__digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+        )
+        .drop("__digest")
+    )
+    filtered = deduped.filter(F.col("n_chars").between(50, 10000))
+    part = F.when(
+        (F.col("doc_id") * F.lit(2654435761)) % 100 < 90, "train"
+    ).otherwise("val")
+    return (
+        filtered.select(part.alias("part"), "lang", "n_chars")
+        .groupBy("part", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast(DEC)).cast("double").alias("total_chars"),
+        )
+    )
