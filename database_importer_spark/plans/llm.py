@@ -854,3 +854,62 @@ def llm_pipeline_end2end(spark, sf_dir):
             F.sum(F.col("n_chars").cast(DEC)).cast("double").alias("total_chars"),
         )
     )
+
+
+@declare(
+    "llm_quality_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t.term
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+    ),
+    tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    total AS (SELECT SUM(c) AS n FROM tf),
+    scored AS (
+        SELECT tok.doc_id,
+               CAST(ROUND(log10(tf.c / (SELECT n FROM total)) * 1000000)
+                    AS BIGINT) AS lp_q
+        FROM tok JOIN tf ON tok.term = tf.term
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(lp_q) AS DOUBLE) / COUNT(*) / 1000000, 6)
+               AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_quality_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality score — the perplexity-filter
+    analogue: docs full of rare/garbage tokens get low average
+    log-probability under the corpus's own unigram distribution.
+    Self-contained two-pass plan: corpus term frequencies (partial
+    agg — the shuffle carries (term, count)), total-token count as a
+    1-row broadcast (no driver action), then token→tf equi join and a
+    per-doc aggregate. Per-term log-probs are quantized to integer
+    micro-units BEFORE the sum so the per-doc aggregate is
+    order-independent (double addition across a shuffle is not);
+    ROUND(6) absorbs the final division. Scale: vocabulary joins are
+    equi joins (broadcast when the vocab fits, shuffle otherwise —
+    Catalyst decides from stats); nothing driver-side."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tf.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        tok.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log10(F.col("c") / F.col("n")) * 1000000)
+            .cast("bigint")
+            .alias("lp_q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("lp_q").cast("double") / F.count(F.lit(1)) / 1000000, 6
+        ).alias("avg_logprob"),
+    )

@@ -604,3 +604,50 @@ def scan_orc_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_nations"),
         F.sum("n_nationkey").alias("key_checksum"),
     )
+
+
+@declare(
+    "scan_schema_evolution",
+    oracle="""
+    WITH batch1 AS (
+        SELECT n_nationkey, n_name, NULL AS n_comment_len
+        FROM nation WHERE n_regionkey < 2
+    ),
+    batch2 AS (
+        SELECT n_nationkey, n_name,
+               CAST(length(n_name) AS BIGINT) AS n_comment_len
+        FROM nation WHERE n_regionkey >= 2
+    ),
+    unioned AS (SELECT * FROM batch1 UNION ALL SELECT * FROM batch2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(n_comment_len) AS BIGINT) AS n_with_new_col,
+           CAST(SUM(n_comment_len) AS BIGINT) AS new_col_checksum
+    FROM unioned
+    """,
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema drift across ingest batches — the day-2 reality of any
+    long-lived ingestion pipeline: batch 1 lands without a column,
+    batch 2 adds it. `mergeSchema` unifies the footers at read time;
+    old rows surface NULL for the new column (exactly the reference's
+    pandas `convert_dtypes` nullability semantics, window.py:296,
+    without a rewrite of old files). At 100 TB this is metadata-only:
+    no data file is touched, the union happens in the scan."""
+    n = t(spark, sf_dir, "nation")
+    base = os.path.join(tempfile.gettempdir(), "dbis_schema_evo")
+    n.filter(F.col("n_regionkey") < 2).select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(base + "/b=1")
+    n.filter(F.col("n_regionkey") >= 2).select(
+        "n_nationkey",
+        "n_name",
+        F.length("n_name").cast("bigint").alias("n_comment_len"),
+    ).write.mode("overwrite").parquet(base + "/b=2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        base + "/b=1", base + "/b=2"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_comment_len").alias("n_with_new_col"),
+        F.sum("n_comment_len").alias("new_col_checksum"),
+    )
