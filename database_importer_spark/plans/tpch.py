@@ -634,3 +634,335 @@ def tpch_q19(spark, sf_dir):
         F.sum(REV()).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_matched"),
     )
+
+
+@declare(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH supplied AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    cand AS (
+        SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+               n.n_name
+        FROM part p
+        JOIN supplied ps ON ps.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_type = 'ECONOMY' AND p.p_size < 15 AND r.r_name = 'ASIA'
+    ),
+    best AS (
+        SELECT p_partkey, MIN(s_acctbal) AS min_bal FROM cand GROUP BY p_partkey
+    )
+    SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_name, c.s_suppkey
+    FROM cand c JOIN best b
+      ON b.p_partkey = c.p_partkey AND c.s_acctbal = b.min_bal
+    ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey, c.s_suppkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """Q2 adapted (reference schema has no partsupp: the supplied-parts
+    relation is DISTINCT (l_partkey, l_suppkey) from lineitem, and
+    min supply cost becomes min supplier account balance). Keeps Q2's
+    defining shape — a correlated MIN subquery decorrelated into
+    aggregate-then-self-join — exactly what Catalyst produces for the
+    original. Scale: the distinct pair projection shuffles only two
+    int keys; supplier/nation/region broadcast; the per-part MIN is a
+    partial agg on the already-reduced candidate set; full tiebreak
+    under the LIMIT keeps it deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    supplied = li.select("l_partkey", "l_suppkey").distinct()
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15)
+    )
+    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    cand = (
+        supplied.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("bk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("bk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "s_suppkey")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+@declare(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER)
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """Q9 adapted (no partsupp → profit is revenue, not revenue minus
+    supply cost; the grouping and join graph are Q9's). Part filter
+    broadcast-semi-reduces lineitem before the orders join, so the
+    fact⨝fact shuffle carries only widget lines; supplier/nation
+    broadcast. Year extracted once, grouped by (nation, year)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    )
+    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(REV()).cast("double").alias("sum_profit"))
+    )
+
+
+@declare(
+    "tpch_q11_important_parts",
+    oracle=f"""
+    WITH val AS (
+        SELECT l.l_partkey,
+               CAST(SUM({REV_SQL}) AS DOUBLE) AS part_value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM val
+    WHERE part_value > (SELECT SUM(part_value) * 0.002 FROM val)
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """Q11 adapted (no partsupp → stock value becomes one nation's
+    shipped revenue per part). The HAVING > global-fraction scalar
+    subquery is a 1-row broadcast crossJoin — no driver action, no
+    second scan of lineitem (the per-part aggregate reuses into the
+    total via a tiny re-agg over its own output). Both sides compute
+    part_value identically (DECIMAL-accumulated, cast double), so the
+    threshold comparison is bit-deterministic cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    val = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(REV()).cast("double").alias("part_value"))
+    )
+    total = val.agg((F.sum("part_value") * 0.002).alias("__threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@declare(
+    "tpch_q12_late_shipment_priority",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate < TIMESTAMP '2001-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """Q12 adapted (schema has no l_shipmode/commitdate/receiptdate:
+    ship class is l_returnflag and "late" means shipped ≥90 days
+    after order date). Keeps Q12's CASE-pivot aggregation and its
+    non-key residual predicate on a fact⨝fact join — the join ships
+    on orderkey, the lateness predicate evaluates post-join, and the
+    CASE sums are map-side partial."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@declare(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    WITH small_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    shipped AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM small_parts)
+          AND l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate < TIMESTAMP '2000-01-01'
+        GROUP BY l_suppkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) > 300.0
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM shipped)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """Q20 adapted (no partsupp availqty → the excess test is a fixed
+    quantity threshold over one year's shipments of the filtered
+    parts). Keeps Q20's nested-IN shape: part-name subquery
+    semi-reduces lineitem (broadcast left_semi — no fact shuffle),
+    the per-supplier HAVING aggregate feeds a second left_semi into
+    the supplier dim. Nothing but (suppkey, qty) ever shuffles."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(p),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+    )
+    shipped = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"))
+        .filter(F.col("qty") > 300.0)
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    )
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(shipped),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@declare(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+    ),
+    all_pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    blamed AS (
+        SELECT DISTINCT la.l_orderkey, la.l_suppkey
+        FROM late la
+        WHERE EXISTS (
+            SELECT 1 FROM all_pairs ap
+            WHERE ap.l_orderkey = la.l_orderkey
+              AND ap.l_suppkey <> la.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM late l2
+            WHERE l2.l_orderkey = la.l_orderkey
+              AND l2.l_suppkey <> la.l_suppkey
+        )
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """Q21 adapted ("kept orders waiting": no receipt/commit dates →
+    late = shipped ≥60 days after order date, on finalized orders).
+    Keeps Q21's signature EXISTS / NOT-EXISTS pair as a left_semi
+    then left_anti with compound non-equal-supplier conditions — the
+    exact decorrelation Catalyst applies to the original. The
+    semi/anti probes join on orderkey only plus a residual suppkey
+    inequality, so both are plain equi shuffles; supplier dim
+    broadcasts into the final count."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    la = late.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_suppkey").alias("b_suppkey")
+    )
+    blamed = (
+        la.join(
+            all_pairs,
+            (F.col("b_orderkey") == F.col("l_orderkey"))
+            & (F.col("b_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late,
+            (F.col("b_orderkey") == F.col("l_orderkey"))
+            & (F.col("b_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    return (
+        blamed.join(s, F.col("b_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
