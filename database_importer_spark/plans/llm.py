@@ -107,23 +107,16 @@ def llm_dedup_near_minhash(spark, sf_dir):
 
 @declare("llm_dedup_simhash", oracle=None)
 def llm_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup: 64-bit fingerprints, prefix-blocked pairs
-    within Hamming distance ≤ 16 (rows-only: xxhash64-based)."""
+    """SimHash near-dup, band-blocked (rows-only: xxhash64-based).
+    64-bit fingerprints; candidates are same-band equi-join pairs
+    over hamming_max+1 fingerprint bands — by pigeonhole a COMPLETE
+    blocking for Hamming ≤ 3 (Manku et al., WWW'07), so this is the
+    brute-force answer at LSH cost. No cross join, no text in the
+    shuffle; completeness vs brute force is pinned in
+    tests/test_operators.py."""
     d = t(spark, sf_dir, "documents")
     fp = D.simhash(d.select("doc_id", "text"), "text", "doc_id")
-    a = d.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, 40).alias("pa"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.substring("text", 1, 40).alias("pb"))
-    cand = a.join(b, (F.col("pa") == F.col("pb")) & (F.col("id_a") < F.col("id_b"))).select(
-        "id_a", "id_b"
-    )
-    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash64").alias("ha"))
-    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash64").alias("hb"))
-    return (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
-        .select("id_a", "id_b", D.hamming64(F.col("ha"), F.col("hb")).alias("hamming"))
-        .filter(F.col("hamming") <= 16)
-    )
+    return D.simhash_band_pairs(fp, "doc_id", hamming_max=3)
 
 
 def _lsh_dedup_oracle(num_planes=8, num_tables=6, dim=64, seed=42) -> str:

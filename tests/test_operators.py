@@ -176,6 +176,37 @@ def test_simhash_identical_texts_collide(spark):
     assert fp[1] != fp[3]
 
 
+def test_simhash_band_blocking_complete_vs_brute_force(spark, sf_dir):
+    """Pigeonhole guarantee: with hamming_max+1 bands, band blocking
+    finds EXACTLY the brute-force pair set at Hamming ≤ hamming_max —
+    same-bucket equi joins lose nothing (Manku et al. WWW'07)."""
+    from database_importer_spark.sources.loader import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = D.simhash(docs, "text", "doc_id").cache()
+    try:
+        blocked = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in D.simhash_band_pairs(fp, "doc_id", hamming_max=3).collect()
+        }
+        a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash64").alias("ha"))
+        b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash64").alias("hb"))
+        brute = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                D.hamming64(F.col("ha"), F.col("hb")).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 3)
+            .collect()
+        }
+        assert blocked == brute
+        assert brute, "planted duplicates should collide at Hamming <= 3"
+    finally:
+        fp.unpersist()
+
+
 # --- similarity -----------------------------------------------------
 
 
