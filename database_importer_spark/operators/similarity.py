@@ -98,6 +98,87 @@ def hyperplane_buckets(
     return df.withColumn(out, bucket)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every corpus vector to its
+    nearest centroid (the inverted lists), probe only the query's
+    ``nprobe`` nearest lists, exact-cosine the candidates, top-k.
+
+    ``centroids`` is a small DataFrame of (id, vector) — here seeded
+    deterministically from the data (making the whole result
+    exact-oracle checkable); in production it would be a k-means
+    codebook, and nothing else changes.
+
+    Scale shape (the point of IVF): the corpus never cross-joins
+    anything. Assignment is corpus ⨝ broadcast(centroids) followed by
+    a partial-agg argmax — the shuffle carries one (id, best) row per
+    corpus row, no window over the fact. Probing is an equi join on
+    centroid id (list membership), so candidate generation touches
+    ~nprobe/K of the corpus per query. Argmax ties break to the
+    LOWEST centroid id via max(struct(cosine, -cid)) — mirrored in
+    the oracle's ORDER BY cosine DESC, cid."""
+    c = with_norm(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("corpus_id"), "cv", "cv_norm"
+    )
+    cent = with_norm(centroids, vec_col, "ev").select(
+        F.col(id_col).alias("cid"), "ev", "ev_norm"
+    )
+    q = with_norm(queries, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), "qv", "qv_norm"
+    )
+
+    c_cos = F.expr(DOT.format(a="cv", b="ev")) / (F.col("cv_norm") * F.col("ev_norm"))
+    assigned = (
+        c.join(F.broadcast(cent))
+        .groupBy("corpus_id")
+        .agg(F.max(F.struct(c_cos.alias("cos"), (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select("corpus_id", (-F.col("m.ncid")).alias("cid"))
+    )
+
+    q_cos = F.expr(DOT.format(a="qv", b="ev")) / (F.col("qv_norm") * F.col("ev_norm"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cid"))
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "cid", q_cos.alias("c_cos"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "cid")
+    )
+
+    cand = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id")
+    )
+    scored = (
+        cand.join(c, "corpus_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            (
+                F.expr(DOT.format(a="qv", b="cv"))
+                / (F.col("qv_norm") * F.col("cv_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

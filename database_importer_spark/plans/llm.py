@@ -206,6 +206,81 @@ def llm_similarity_topk(spark, sf_dir):
     return S.cosine_topk(e, q, "vec_id", "embedding", k=3)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two embedding columns — the identical
+    multiply/list_sum shape that llm_similarity_topk's oracle proved
+    bit-compatible with Spark's zip_with/aggregate fold."""
+    def sq(v):
+        return (
+            f"sqrt(list_sum(list_transform(generate_series(1, 64), "
+            f"i -> {v}[i]::DOUBLE * {v}[i]::DOUBLE)))"
+        )
+    return (
+        f"(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) / ({sq(a)} * {sq(b)}))"
+    )
+
+
+@declare(
+    "llm_similarity_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ev FROM embeddings WHERE vec_id < 16
+    ),
+    qs AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    assigned AS (
+        SELECT corpus_id, cid FROM (
+            SELECT c.vec_id AS corpus_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_cos_sql('c.embedding', 'cent.ev')} DESC, cent.cid)
+                       AS rn
+            FROM embeddings c, cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cid FROM (
+            SELECT qs.query_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY qs.query_id
+                       ORDER BY {_cos_sql('qs.qv', 'cent.ev')} DESC, cent.cid) AS rn
+            FROM qs, cent
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.corpus_id,
+               {_cos_sql('q2.embedding', 'c2.embedding')} AS cosine
+        FROM probes p
+        JOIN assigned a ON a.cid = p.cid AND a.corpus_id != p.query_id
+        JOIN embeddings c2 ON c2.vec_id = a.corpus_id
+        JOIN embeddings q2 ON q2.vec_id = p.query_id
+    )
+    SELECT query_id, corpus_id, cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def llm_similarity_ivf(spark, sf_dir):
+    """IVF ANN: 16 deterministic seed centroids (vec_id < 16 — a
+    k-means codebook in production; seeding keeps the oracle exact),
+    corpus assigned to inverted lists via broadcast+argmax partial
+    agg (no window over the corpus), queries probe their 2 nearest
+    lists, candidates exact-cosine verified, top-3. The corpus never
+    cross-joins: candidate generation is an equi join on list id
+    touching ~nprobe/16 of the corpus per query."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < 5),
+        e.filter(F.col("vec_id") < 16),
+        "vec_id",
+        "embedding",
+        k=3,
+        nprobe=2,
+    )
+
+
 @declare("llm_similarity_lsh", oracle=None)
 def llm_similarity_lsh(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN: probe only the query's bucket

@@ -247,6 +247,30 @@ def test_lsh_topk_recall(spark, emb):
     assert recall >= 0.3  # 2 planes → 4 buckets → ~25% chance baseline
 
 
+def test_ivf_topk_recall(spark, emb):
+    """IVF with 16 seed centroids, nprobe=2/16 lists probed, must
+    still recover a meaningful share of the exact top-5 — and every
+    returned pair must carry the exact cosine (the verify stage is
+    brute force over candidates, so scores are never approximate)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    cent = emb.filter(F.col("vec_id") < 16)
+    exact = {
+        (r["query_id"], r["corpus_id"]): r["cosine"]
+        for r in S.cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["corpus_id"]): r["cosine"]
+        for r in S.ivf_topk(
+            emb, q, cent, "vec_id", "embedding", k=5, nprobe=2
+        ).collect()
+    }
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.3f} < 0.3"
+    for pair in hits:  # scores are exact, not approximated
+        assert approx[pair] == exact[pair]
+
+
 def test_embedding_blocked_pairs_recall_on_planted_dups(spark):
     """Round-2 gate: multi-table LSH blocking must recover ≥0.9 of
     the TRUE near-dup pairs (cosine ≥ 0.95) on a planted-duplicate
