@@ -133,3 +133,37 @@ def stream_stream_join(spark, sf_dir):
     join."""
     out = W.stream_stream_click_purchase(spark, sf_dir)
     return W.run_bounded(out, "append")
+
+
+@declare(
+    "stream_upsert_merge",
+    oracle=None,  # set below: reuses the batch _UPSERT_ORACLE
+)
+def stream_upsert_merge(spark, sf_dir):
+    """The reference's data plane run CONTINUOUSLY: the update∪insert
+    source replayed as 4 checkpointed micro-batches, each staged-
+    merged into a versioned target via foreachBatch (Merger +
+    atomic write-then-swap publication — readers never see a
+    half-merged table). Keys are unique across the stream, so the
+    per-batch merges compose to exactly the one-shot merge: the end
+    state hash-matches the batch upsert_merge_full oracle."""
+    from database_importer_spark.plans.part_a import (
+        _insert_source_df,
+        _updates_df,
+        t,
+    )
+    from database_importer_spark.streaming.upsert import streaming_upsert
+
+    target = t(spark, sf_dir, "orders")
+    src = _updates_df(spark, sf_dir).unionByName(_insert_source_df(spark, sf_dir))
+    return streaming_upsert(spark, target, src, keys=["o_orderkey"], batches=4)
+
+
+def _wire_upsert_oracle():
+    from database_importer_spark.plans.part_a import _UPSERT_ORACLE
+    from database_importer_spark.plans.registry import REGISTRY
+
+    REGISTRY["stream_upsert_merge"].oracle = _UPSERT_ORACLE
+
+
+_wire_upsert_oracle()

@@ -1,0 +1,85 @@
+"""Streaming upsert — the reference's data plane run continuously.
+
+The reference is a one-shot staged merge (importer.py:253-309: stage
+→ UPDATE..JOIN → anti-join INSERT). Its production-shaped extension
+is the same merge applied per arriving batch: a Structured Streaming
+``foreachBatch`` sink where every micro-batch is upserted into a
+versioned target store (operators/merge.Merger + sources/atomic's
+write-then-swap publication — readers always see a complete version,
+never a half-merged table).
+
+Semantics: with keys unique across the stream (each key arrives in
+exactly one batch), per-batch merge composes to exactly the one-shot
+merge of the full source — which is what makes the end state
+oracle-checkable against the batch ``upsert_merge_full`` SQL.
+
+Scale shape: each micro-batch pays one broadcast-merge against the
+current version (the semi-then-anti insert rewrite — the target
+never shuffles) plus one target rewrite. At 100 TB the rewrite
+becomes a partition-scoped overwrite or a table-format MERGE commit
+(Delta/Iceberg); the orchestration here — bounded batches via
+``maxFilesPerTrigger``, checkpointed progress, atomic publication —
+is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from database_importer_spark.operators.merge import Merger
+from database_importer_spark.sources.atomic import atomic_overwrite, read_current
+
+
+def streaming_upsert(
+    spark: SparkSession,
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    batches: int = 4,
+    update: bool = True,
+    insert: bool = True,
+) -> DataFrame:
+    """Replay ``source`` as ``batches`` micro-batches and merge each
+    into a versioned copy of ``target``; return the final table.
+
+    The source is staged as ``batches`` parquet files and consumed
+    with ``maxFilesPerTrigger=1`` under an availableNow trigger — a
+    bounded, checkpointed replay of exactly the continuous-ingest
+    path. The returned DataFrame is checkpointed before the scratch
+    store is removed."""
+    root = tempfile.mkdtemp(prefix="dbis_stream_upsert_")
+    src_dir = os.path.join(root, "src")
+    store = os.path.join(root, "store")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        source.repartition(batches).write.parquet(src_dir)
+        atomic_overwrite(target, store, "v0")
+        schema = spark.read.parquet(src_dir).schema
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            cur = read_current(spark, store)
+            merged = Merger(cur, batch_df, join_on=keys).merged(
+                update=update, insert=insert
+            )
+            atomic_overwrite(merged, store, f"v{batch_id + 1}")
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return read_current(spark, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

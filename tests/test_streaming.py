@@ -90,3 +90,23 @@ def test_late_data_rows_dropped(spark, sf_dir, tmp_path):
     streamed = out.agg(F.sum("n_events")).collect()[0][0]
     total = load_table(spark, sf_dir, "events").count()
     assert streamed <= total
+
+
+def test_streaming_upsert_equals_batch_merge(spark, sf_dir):
+    """Per-batch foreachBatch merges (disjoint keys) must compose to
+    the one-shot Merger result exactly — row for row."""
+    from database_importer_spark.operators.merge import Merger
+    from database_importer_spark.streaming.upsert import streaming_upsert
+
+    target = load_table(spark, sf_dir, "orders")
+    src = target.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("S").alias("o_orderstatus"),
+    )
+    streamed = streaming_upsert(spark, target, src, ["o_orderkey"], batches=3)
+    batch = Merger(target, src, join_on=["o_orderkey"]).merged(
+        update=True, insert=True
+    )
+    key = lambda r: r["o_orderkey"]
+    assert sorted(streamed.collect(), key=key) == sorted(batch.collect(), key=key)
