@@ -981,3 +981,220 @@ def llm_quality_unigram_logprob(spark, sf_dir):
             F.sum("lp_q").cast("double") / F.count(F.lit(1)) / 1000000, 6
         ).alias("avg_logprob"),
     )
+
+
+@declare(
+    "llm_repetition_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               list_transform(generate_series(1, len(tk) - 2),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+        FROM toks
+    )
+    SELECT s.doc_id, s.n_tokens,
+           CAST(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                AS DOUBLE) AS dup_3gram_frac,
+           CAST(list_max(list_transform(list_distinct(t.tk),
+                    u -> len(list_filter(t.tk, x -> x = u)))) AS DOUBLE)
+               / s.n_tokens AS top_token_frac
+    FROM scored s JOIN toks t ON t.doc_id = s.doc_id
+    """,
+)
+def llm_repetition_score(spark, sf_dir):
+    """Intra-document repetition signals (the Gopher/C4 quality
+    filters): duplicated-3-gram fraction and the mass of the single
+    most frequent token. Entirely per-row higher-order-function
+    expressions — zero shuffle, zero Python: the ideal 100 TB shape
+    (a map-only scan). The top-token pass is O(u·n) per row in
+    unique-tokens u — bounded by document length, not corpus size;
+    for pathological documents switch to the explode+groupBy twin
+    (same result, one shuffle). Integer-ratio doubles are exact in
+    IEEE, so no rounding is needed for the oracle hash."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    g3 = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], "
+        "split(text, ' ')[i+1]))"
+    )
+    top = F.expr(
+        "array_max(transform(array_distinct(split(text, ' ')), "
+        "u -> size(filter(split(text, ' '), x -> x = u))))"
+    )
+    return d.select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(g3)).cast("double") / F.size(g3)
+        ).alias("dup_3gram_frac"),
+        (top.cast("double") / F.size(tk)).alias("top_token_frac"),
+    )
+
+
+@declare(
+    "llm_domain_rebalance",
+    oracle="""
+    WITH per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_src
+        FROM per_src
+    ),
+    kept AS (
+        SELECT d.source, d.doc_id
+        FROM documents d
+        JOIN per_src p ON p.source = d.source, tot
+        WHERE ((d.doc_id * 2654435761) % 10000) * tot.n_src * p.cnt
+              < tot.total * 10000
+    )
+    SELECT p.source, p.cnt AS n_before,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_after
+    FROM per_src p LEFT JOIN kept k ON k.source = p.source
+    GROUP BY p.source, p.cnt
+    """,
+)
+def llm_domain_rebalance(spark, sf_dir):
+    """Domain-mix rebalancing: downsample over-represented sources
+    toward a uniform target share with a DETERMINISTIC keep rule —
+    keep iff hash(doc_id)·n_src·cnt(source) < total·10⁴, i.e.
+    keep-probability ≈ (total/n_src)/cnt capped at 1 — all integer
+    arithmetic (no floats, no rand()), so membership is reproducible
+    across runs, engines, partitionings and cluster sizes. Per-source
+    counts and the (total, n_src) 1-row aggregate both broadcast; the
+    fact table is filtered map-side — one shuffle for the final
+    per-source count, nothing else. The C4/Pile recipe of 'flatten
+    the domain mix' as one lazy plan."""
+    d = t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per_src.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_src")
+    )
+    h = (F.col("doc_id") * F.lit(2654435761)) % 10000
+    kept = (
+        d.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(h * F.col("n_src") * F.col("cnt") < F.col("total") * 10000)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        per_src.select("source", F.col("cnt").alias("n_before"))
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+        )
+    )
+
+
+@declare(
+    "llm_tfidf_cosine_pairs",
+    oracle="""
+    WITH N AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    tok AS (
+        SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+        GROUP BY doc_id, t.term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        FROM tok GROUP BY term
+    ),
+    post AS (
+        SELECT tok.doc_id, tok.term,
+               CAST(ROUND(tok.tf * ROUND(ln((SELECT n FROM N) / df.doc_freq),
+                    6) * 1000000) AS BIGINT) AS wq
+        FROM tok JOIN df ON df.term = tok.term, N
+        WHERE df.doc_freq * 2 < (SELECT n FROM N)
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(SUM(wq * wq) AS DOUBLE)) AS nrm
+        FROM post GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(SUM(a.wq * b.wq) AS BIGINT) AS dot
+        FROM post a JOIN post b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.id_a, d.id_b,
+           ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.id_a
+    JOIN norms nb ON nb.doc_id = d.id_b
+    WHERE CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.60
+    """,
+)
+def llm_tfidf_cosine_pairs(spark, sf_dir):
+    """All-pairs sparse TF-IDF cosine similarity via an INVERTED
+    INDEX join — the scalable shape for text all-pairs similarity:
+    documents meet only through terms they share (posting-list
+    self-join on term), never through a cross join. Rare-term
+    pruning (df·2 < N) bounds posting-list length — the standard
+    guard that keeps the join sub-quadratic at corpus scale (a
+    stop-word's posting list would otherwise dominate).
+
+    Determinism across shuffles: weights are quantized to integer
+    micro-units AFTER ROUND(6)-guarding ln(), so dot products and
+    norms are exact integer sums (order-independent), and the final
+    cosine is one deterministic double division. Shuffle payload:
+    (term, doc, int64) postings and (pair, int64) partials only."""
+    d = t(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    post = (
+        tok.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("doc_freq") * 2 < F.col("__n"))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.round(F.log(F.col("__n") / F.col("doc_freq")), 6)
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("wq"),
+        )
+    )
+    norms = post.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wq") * F.col("wq")).cast("double")).alias("nrm")
+    )
+    a = post.select(
+        F.col("doc_id").alias("id_a"), "term", F.col("wq").alias("wa")
+    )
+    b = post.select(
+        F.col("doc_id").alias("id_b"), "term", F.col("wq").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot").cast("double") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= 0.60)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
