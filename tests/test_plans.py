@@ -252,3 +252,55 @@ def test_cap_per_source_window_is_partitioned(spark):
     plan = explain(spark, "llm_cap_per_source")
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_tfidf_cosine_pairs_is_inverted_index_join(spark):
+    """All-pairs sparse cosine must meet through the term posting
+    join — no cartesian/BNLJ anywhere, and the pair aggregation is
+    partial+final (dot partials combine map-side)."""
+    plan = explain(spark, "llm_tfidf_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the 1-row corpus-count broadcast (the
+    # scalar-subquery pattern); the posting self-join must be equi.
+    tree = plan.split("\n\n")[0]
+    # the posting subplan repeats (norms + both self-join sides), so
+    # the 1-row broadcast may appear once per repetition — but every
+    # nested-loop must be that Cross-BuildRight scalar pattern.
+    n_bnlj = tree.count("BroadcastNestedLoopJoin")
+    assert n_bnlj >= 1
+    assert tree.count("BroadcastNestedLoopJoin Cross BuildRight") == n_bnlj
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+
+def test_ivf_has_no_cartesian_and_broadcasts_centroids(spark):
+    """IVF candidate generation is an equi join on list id; the only
+    nested-loop allowed is the corpus×centroid broadcast product
+    (K=16 rows, deliberately unconditioned)."""
+    plan = explain(spark, "llm_similarity_ivf")
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    # centroid fan-outs are BroadcastNestedLoopJoin over a 16-row dim;
+    # candidate→corpus and candidate→query joins must be hash joins.
+    assert "BroadcastHashJoin" in tree
+
+
+def test_simhash_band_pairs_join_is_equi_on_band(spark):
+    plan = explain(spark, "llm_dedup_simhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_rebalance_broadcasts_stats(spark):
+    """Per-source counts and the 1-row total both broadcast — the
+    fact filter runs map-side with no extra fact shuffle."""
+    plan = explain(spark, "llm_domain_rebalance")
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 1
+
+
+def test_repetition_score_is_map_only(spark):
+    """Per-row HOF expressions: no exchange at all in the plan."""
+    plan = explain(spark, "llm_repetition_score")
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
