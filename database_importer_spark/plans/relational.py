@@ -651,3 +651,110 @@ def scan_schema_evolution(spark, sf_dir):
         F.count("n_comment_len").alias("n_with_new_col"),
         F.sum("n_comment_len").alias("new_col_checksum"),
     )
+
+
+@declare(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE n_nationkey % 7 != 3) AS BIGINT)
+               AS n_good,
+           CAST(COUNT(*) FILTER (WHERE n_nationkey % 7 = 3) AS BIGINT)
+               AS n_corrupt,
+           CAST(SUM(n_nationkey) FILTER (WHERE n_nationkey % 7 != 3)
+               AS BIGINT) AS good_key_checksum
+    FROM nation
+    """,
+)
+def scan_csv_malformed(spark, sf_dir):
+    """Bad-record handling on CSV ingest — the day-1 reality of file
+    feeds: some rows don't parse. A CSV is staged with every 7th-ish
+    row deterministically corrupted (non-numeric key), read back
+    PERMISSIVE with a ``columnNameOfCorruptRecord`` side channel, and
+    the query audits good vs captured-corrupt rows. PERMISSIVE is the
+    100 TB default — one malformed row must quarantine, not kill the
+    job (DROPMALFORMED/FAILFAST are per-feed policy). Map-only plus a
+    1-row aggregate; corrupt capture adds no shuffle."""
+    n = t(spark, sf_dir, "nation")
+    staged = n.select(
+        F.when(
+            F.col("n_nationkey") % 7 == 3,
+            F.concat(F.lit("BAD_"), F.col("n_name")),
+        )
+        .otherwise(F.col("n_nationkey").cast("string"))
+        .alias("k"),
+        "n_name",
+    )
+    base = os.path.join(tempfile.gettempdir(), "dbis_scan_csv_malformed")
+    staged.write.mode("overwrite").option("header", True).csv(base)
+    back = spark.read.schema(
+        "n_nationkey int, n_name string, _corrupt string"
+    ).options(
+        header=True,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    ).csv(base)
+    return back.agg(
+        F.count("n_nationkey").alias("n_good"),
+        F.count("_corrupt").alias("n_corrupt"),
+        F.sum("n_nationkey").alias("good_key_checksum"),
+    )
+
+
+@declare(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    WITH v1 AS (
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, o_orderkey, o_totalprice
+        FROM orders
+    ),
+    v2 AS (  -- rewrite ONLY year 1997 with doubled prices
+        SELECT yr, o_orderkey, o_totalprice * 2 AS o_totalprice
+        FROM v1 WHERE yr = 1997
+    ),
+    final AS (
+        SELECT * FROM v1 WHERE yr != 1997
+        UNION ALL
+        SELECT * FROM v2
+    )
+    SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+               AS price_sum
+    FROM final GROUP BY yr
+    """,
+)
+def sink_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the idempotent-backfill
+    primitive: rewriting one partition's data must replace ONLY that
+    partition, leaving every other partition untouched (static
+    overwrite mode would drop them all). partitionOverwriteMode=
+    dynamic scopes the commit to partitions present in the incoming
+    frame — at 100 TB this is the difference between rewriting one
+    day and clobbering the table. The audit re-aggregates the final
+    directory state."""
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    base = os.path.join(tempfile.gettempdir(), "dbis_dyn_overwrite")
+    o.write.mode("overwrite").partitionBy("yr").parquet(base)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            o.filter(F.col("yr") == 1997)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .write.mode("overwrite")
+            .partitionBy("yr")
+            .parquet(base)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(base)
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("price_sum"),
+        )
+    )
