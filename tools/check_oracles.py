@@ -73,8 +73,14 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from database_importer_spark import get_spark
     from database_importer_spark.plans import REGISTRY
@@ -116,13 +122,43 @@ def main():
             failed.append((key, "; ".join(problems)))
             print(f"FAIL {key}: {'; '.join(problems)}")
         else:
-            passed.append(key)
+            passed.append((key, len(spark_pdf)))
             print(f"PASS {key} ({len(spark_pdf)} rows)")
 
     print(
         f"\n== {len(passed)} passed, {len(failed)} failed, "
         f"{len(rows_only)} rows-only =="
     )
+    if json_out:
+        import datetime
+        import json
+
+        results = {}
+        for key, n in passed:
+            results[key] = {"status": "pass", "rows": n}
+        for key, n in rows_only:
+            results[key] = {"status": "rows_only", "rows": n}
+        for key, err in failed:
+            results[key] = {"status": "fail", "error": err}
+        doc = {
+            "protocol": (
+                f"tools/check_oracles.py {sf_dir} — full local sweep, "
+                "driver-identical compare (row count + schema + value "
+                "hash); committed per VERDICT r1 item 8 so the judge can "
+                "diff against the driver's (alphabetically truncated) "
+                "CORRECTNESS file"
+            ),
+            "date": datetime.date.today().isoformat(),
+            "summary": {
+                "passed": len(passed),
+                "failed": len(failed),
+                "rows_only": len(rows_only),
+            },
+            "results": dict(sorted(results.items())),
+        }
+        with open(json_out, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"wrote {json_out}")
     if failed:
         sys.exit(1)
 
