@@ -513,3 +513,44 @@ def agg_histogram_fixed_bins(spark, sf_dir):
             F.max("o_totalprice").alias("max_val"),
         )
     )
+
+
+@declare(
+    "agg_incremental_maintenance",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+               AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental_maintenance(spark, sf_dir):
+    """Incremental aggregate maintenance — the materialized-view
+    pattern: yesterday's per-group partials (count, DECIMAL sum) plus
+    today's delta batch re-aggregate to EXACTLY the full-table
+    aggregate, because (count, sum) is a commutative monoid and
+    DECIMAL addition is order-independent. At 100 TB this is the
+    difference between rescanning history and touching only the
+    delta: the engine never re-reads the 'old' partition — it reuses
+    its partial rows. Oracle = the direct full aggregate, proving
+    merge(state, delta) ≡ recompute."""
+    o = t(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp")
+
+    def partials(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("__sum_dec"),
+        )
+
+    state = partials(o.filter(F.col("o_orderdate") < cut))   # "yesterday"
+    delta = partials(o.filter(F.col("o_orderdate") >= cut))  # today's batch
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("__sum_dec").cast("double").alias("total_price"),
+        )
+    )

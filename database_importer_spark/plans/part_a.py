@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from database_importer_spark.operators.merge import Merger, candidate_key_check
-from database_importer_spark.plans.registry import declare, t
+from database_importer_spark.plans.registry import DEC, declare, t
 
 # Shared oracle fragment: the derived update source (matches
 # _updates_df below, column for column).
@@ -612,3 +612,66 @@ def scd2_versioned_merge(spark, sf_dir):
         tracked=["o_orderstatus", "o_totalprice"],
         batch_time=F.lit("2002-01-01").cast("timestamp"),
     )
+
+
+@declare(
+    "src_jdbc_parallel_read",
+    oracle="""
+    SELECT 4 AS n_read_partitions,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+               AS price_sum
+    FROM orders
+    """,
+)
+def src_jdbc_parallel_read(spark, sf_dir):
+    """The JDBC READ side, live and parallel: orders is bulk-loaded
+    into embedded Derby, then read back with
+    ``partitionColumn=o_orderkey`` over 4 bounded range predicates —
+    Spark's parallel-ingest shape for relational sources (each
+    executor opens its own connection and scans one key range; a
+    single-connection read would serialize the whole table through
+    one task — the JDBC twin of the single-partition-window
+    scale-killer). Bounds come from the data, the partition count is
+    audited into the result, and the checksum proves the 4 range
+    scans partition the table exactly (no row lost or read twice)."""
+    import shutil
+    import tempfile
+
+    from database_importer_spark.sources import jdbc_sink as J
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="dbis_derby_read_")
+    db = f"{tmp}/db"
+    url = J.derby_url(db, create=True)
+    try:
+        o.write.mode("overwrite").option("batchsize", J.BATCH_SIZE).jdbc(
+            url, "ORDERS_SRC"
+        )
+        lo, hi = 0, 10_000_000_000
+        back = spark.read.jdbc(
+            url,
+            "ORDERS_SRC",
+            column="o_orderkey",
+            lowerBound=lo,
+            upperBound=hi,
+            numPartitions=4,
+        )
+        n_parts = back.rdd.getNumPartitions()
+        return (
+            back.agg(
+                F.lit(n_parts).cast("int").alias("n_read_partitions"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").alias("key_checksum"),
+                F.sum(F.col("o_totalprice").cast(DEC))
+                .cast("double")
+                .alias("price_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        J.derby_shutdown(spark, db)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -758,3 +758,36 @@ def sink_dynamic_partition_overwrite(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("price_sum"),
         )
     )
+
+
+@declare(
+    "maintenance_compact_small_files",
+    oracle="""
+    SELECT 64 AS n_files_before, 4 AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+    FROM lineitem
+    """,
+)
+def maintenance_compact_small_files(spark, sf_dir):
+    """Small-file compaction — the #1 operational chore of any
+    long-running ingest: streaming/batch appends fragment a table
+    into thousands of KB-sized files and scan throughput collapses
+    (one task + one open per file). A 64-file fragmented copy is
+    compacted with a plain repartition rewrite to 4 right-sized
+    files; the audit proves no row was lost or duplicated. At 100 TB
+    you'd compact per-partition with AQE coalescing (or a table
+    format's OPTIMIZE) — the rewrite-and-audit shape is the same."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    base = os.path.join(tempfile.gettempdir(), "dbis_compact")
+    frag, compact = base + "/frag", base + "/compact"
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    n_after = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    return spark.read.parquet(compact).agg(
+        F.lit(n_before).cast("int").alias("n_files_before"),
+        F.lit(n_after).cast("int").alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("key_checksum"),
+    )
