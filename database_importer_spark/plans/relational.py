@@ -791,3 +791,41 @@ def maintenance_compact_small_files(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_orderkey").alias("key_checksum"),
     )
+
+
+@declare(
+    "sink_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_written,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
+               AS price_sum,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+               AS n_high_discount
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def sink_observed_metrics(spark, sf_dir):
+    """Pipeline observability: ``df.observe`` attaches named metric
+    expressions that are computed DURING the sink job itself — row
+    counts, sums, data-quality counters come back with the write, no
+    second audit scan of the data (at 100 TB an after-the-fact audit
+    query doubles the pipeline's read volume). The observed metrics
+    of a filtered lineitem write are returned as the result and must
+    equal the oracle's recomputation."""
+    from pyspark.sql import Observation
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    obs = Observation("write_audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_written"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("price_sum"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_discount"),
+    )
+    base = os.path.join(tempfile.gettempdir(), "dbis_observed_sink")
+    observed.write.mode("overwrite").parquet(base)  # metrics ride this job
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_written"], m["price_sum"], m["n_high_discount"])],
+        "n_written bigint, price_sum double, n_high_discount bigint",
+    )

@@ -122,3 +122,58 @@ def udtf_explode_custom(spark, sf_dir):
         "SELECT b.doc_id, b.bigram FROM dbis_docs_for_udtf, "
         "LATERAL dbis_bigrams(doc_id, text) b"
     )
+
+
+@declare(
+    "udf_cogroup_pandas",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(25,4))), 0)
+                AS DOUBLE) AS total_spend,
+           MAX(c.c_acctbal) AS acctbal
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 10 = 0
+    GROUP BY c.c_custkey
+    """,
+)
+def udf_cogroup_pandas(spark, sf_dir):
+    """cogroup().applyInPandas — the two-sided grouped-Arrow surface:
+    each key's customer rows and order rows arrive as a pandas frame
+    PAIR in one Python call (the shape for per-key reconciliation
+    logic that needs both sides at once, e.g. auditing a dimension
+    against its facts). Both sides shuffle once on the key, groups
+    stream through Arrow; per-key decimal-quantized sums keep the
+    result order-independent and oracle-exact. Slow path by the §4.4
+    ordering — here it runs on a 10% key slice."""
+    import pandas as pd
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+
+    def reconcile(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty:
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "total_spend", "acctbal"]
+            )
+        # quantize to int 1e-4 units -> exact, order-independent sum
+        spend = int(
+            (orders["o_totalprice"] * 10_000).round().astype("int64").sum()
+        ) if len(orders) else 0
+        return pd.DataFrame(
+            {
+                "c_custkey": [key[0]],
+                "n_orders": [len(orders)],
+                "total_spend": [spend / 10_000.0],
+                "acctbal": [cust["c_acctbal"].max()],
+            }
+        )
+
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            reconcile,
+            "c_custkey bigint, n_orders bigint, total_spend double, acctbal double",
+        )
+    )

@@ -83,3 +83,46 @@ def test_merge_invariants(spark, tgt, src):
         m_dup = Merger(target, source, join_on=["k"], subset=["a"])
         with pytest.raises(MergerError, match="duplicate values"):
             m_dup.merged(update=True)
+
+
+# --- distributed rank invariants -----------------------------------
+
+rank_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[1],
+)
+
+
+@given(rows=rank_rows, desc=st.booleans())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_distributed_rank_equals_single_window(spark, rows, desc):
+    """The two-phase bucketized rank must agree EXACTLY with the
+    textbook single-partition window row_number on arbitrary data —
+    including duplicate keys (tiebreak column makes the order total)
+    and tiny inputs where some buckets are empty."""
+    from pyspark.sql.window import Window
+
+    from database_importer_spark.operators.ranking import with_global_row_number
+
+    df = spark.createDataFrame(rows, "v int, tb int").repartition(7)
+    order = [("v", desc), ("tb", False)]
+    got = {
+        (r["v"], r["tb"]): r["rank"]
+        for r in with_global_row_number(df, order, num_buckets=5).collect()
+    }
+    cols = [F.col("v").desc() if desc else F.col("v").asc(), F.col("tb").asc()]
+    w = Window.orderBy(*cols)
+    want = {
+        (r["v"], r["tb"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
