@@ -460,3 +460,37 @@ def fn_case_when(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("band_total"),
     )
+
+
+@declare(
+    "fn_try_safe_core",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_name AS INTEGER) AS name_as_int,
+           TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip,
+           CASE WHEN (p_size - 10) = 0 THEN NULL
+                ELSE CAST(p_retailprice AS DOUBLE) / (p_size - 10) END
+               AS price_per_adj,
+           string_split(p_name, ' ')[3] AS third_word
+    FROM part
+    """,
+)
+def fn_try_safe_core(spark, sf_dir):
+    """ANSI-safe error kernel: try_cast / try_divide /
+    try_element_at return NULL where strict evaluation would throw
+    (unparseable cast, division by zero, index past the end). The
+    100 TB argument: one malformed value must quarantine as NULL, not
+    kill a 10-hour job — the expression-level twin of PERMISSIVE
+    ingest (scan_csv_malformed). All codegen, no Python. DuckDB
+    twins: TRY_CAST; a CASE guard for ÷0 (its / raises like Spark's
+    strict mode); out-of-range list extract is NULL natively."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("try_cast(p_name AS int)").alias("name_as_int"),
+        F.expr("try_cast(cast(p_size AS string) AS int)").alias("size_roundtrip"),
+        F.try_divide(
+            F.col("p_retailprice").cast("double"), F.col("p_size") - 10
+        ).alias("price_per_adj"),
+        F.try_element_at(F.split("p_name", " "), F.lit(3)).alias("third_word"),
+    )
