@@ -177,3 +177,42 @@ def udf_cogroup_pandas(spark, sf_dir):
             "c_custkey bigint, n_orders bigint, total_spend double, acctbal double",
         )
     )
+
+
+@declare(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem WHERE l_quantity >= 30
+    """,
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """mapInArrow — the zero-copy end of the Python surface: batches
+    arrive as raw Arrow RecordBatches (no pandas conversion at all),
+    computed with Arrow kernels (SIMD, columnar), yielded back. The
+    cheapest possible Python boundary — use when pandas semantics
+    (index, NaN coercion) are unwanted overhead. Multiplication of
+    doubles is IEEE-exact, so the result hash-matches the SQL twin
+    bit for bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+
+    def net(batches):
+        for b in batches:
+            net_price = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), net_price],
+                ["l_orderkey", "l_linenumber", "net_price"],
+            )
+
+    return li.mapInArrow(
+        net, "l_orderkey bigint, l_linenumber int, net_price double"
+    )

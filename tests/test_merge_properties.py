@@ -126,3 +126,98 @@ def test_distributed_rank_equals_single_window(spark, rows, desc):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+# --- asof_join vs pandas merge_asof --------------------------------
+
+asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)),
+    min_size=1, max_size=25,
+)
+asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(-50, 50)),
+    min_size=1, max_size=25,
+    unique_by=lambda r: (r[0], r[1]),  # unique (key, ts): no tie ambiguity
+)
+
+
+@given(lrows=asof_left, rrows=asof_right)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    """Backward-inclusive as-of must agree with pandas merge_asof
+    (direction='backward', by=key) on arbitrary key/ts patterns."""
+    import pandas as pd
+
+    from database_importer_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(lrows, "k int, lts int").repartition(5)
+    right = spark.createDataFrame(rrows, "k int, rts int, rv int").repartition(5)
+    out = asof_join(left, right, ["k"], "lts", "rts", ["rv"]).collect()
+
+    lp = pd.DataFrame(lrows, columns=["k", "lts"]).sort_values("lts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "rts", "rv"]).sort_values("rts", kind="stable")
+    want = pd.merge_asof(
+        lp, rp, left_on="lts", right_on="rts", by="k", direction="backward"
+    )
+    want_counts = {}
+    for r in want.itertuples():
+        kk = (r.k, r.lts, None if pd.isna(r.rv) else int(r.rv))
+        want_counts[kk] = want_counts.get(kk, 0) + 1
+    got_counts = {}
+    for r in out:
+        kk = (r["k"], r["lts"], r["rv"])
+        got_counts[kk] = got_counts.get(kk, 0) + 1
+    assert got_counts == want_counts
+
+
+# --- SCD2 invariants ----------------------------------------------
+
+scd2_updates = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(-20, 20)),
+    min_size=1, max_size=8,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(upd=scd2_updates)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_invariants(spark, upd):
+    """For any update batch: (1) at most one open version per key,
+    (2) history rows are immutable, (3) every updated-and-changed key
+    gets exactly one new open version stamped at batch time."""
+    from database_importer_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(k, k % 3, f"2000-01-0{k + 1}", None, True) for k in range(5)]
+        + [(0, 99, "1999-01-01", "2000-01-01", False)],  # history row
+        "k int, attr int, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(upd, "k int, attr int")
+    out = scd2_merge(
+        dim, updates, ["k"], ["attr"], "2001-06-01",
+    ).collect()
+
+    open_per_key = {}
+    for r in out:
+        if r["is_current"]:
+            open_per_key[r["k"]] = open_per_key.get(r["k"], 0) + 1
+    assert all(v == 1 for v in open_per_key.values()), open_per_key
+
+    hist = [r for r in out if r["valid_from"] == "1999-01-01"]
+    assert len(hist) == 1 and hist[0]["attr"] == 99  # untouched
+
+    changed_keys = {
+        k for k, a in upd if k < 5 and a != k % 3
+    }
+    new_open = {
+        r["k"] for r in out if r["is_current"] and r["valid_from"] == "2001-06-01"
+    }
+    assert new_open == changed_keys | {k for k, _ in upd if k >= 5}
