@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 from pyspark.sql.window import Window
 
 _BUCKET = "__rk_bucket"
@@ -62,8 +63,35 @@ def with_global_row_number(
     ``total_col``: also append the global row count (needed by ntile
     / percent_rank / cume_dist arithmetic) — derived from the same
     per-bucket counts, no extra scan of ``df``.
+
+    String keys are supported through an ORDER-PRESERVING numeric
+    surrogate: the first 8 UTF-8 bytes, zero-right-padded, packed
+    big-endian into a DECIMAL(38,0). Byte-wise order of padded UTF-8
+    equals string order, so bucket boundaries never invert the true
+    order; strings sharing an 8-byte prefix merely land in the same
+    bucket (ties are resolved by the real columns inside the
+    partitioned window). Keys must be non-null (filter or coalesce
+    first) — a NULL key would bucket first regardless of sort
+    direction.
     """
     key, key_desc = order[0]
+    if isinstance(df.schema[key].dataType, StringType):
+        bucket_key = _BUCKET + "_skey"
+        df = df.withColumn(
+            bucket_key,
+            F.expr(
+                f"cast(conv(hex(rpad(encode({key}, 'UTF-8'), 8, x'00')), 16, 10)"
+                " as decimal(38,0))"
+            ),
+        )
+        out = with_global_row_number(
+            df,
+            [(bucket_key, key_desc)] + order,
+            rank_col=rank_col,
+            num_buckets=num_buckets,
+            total_col=total_col,
+        )
+        return out.drop(bucket_key)
     fractions = [i / num_buckets for i in range(1, num_buckets)]
     cuts = df.agg(
         F.percentile_approx(key, fractions, 10_000).alias(_CUTS)

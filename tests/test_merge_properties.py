@@ -221,3 +221,48 @@ def test_scd2_invariants(spark, upd):
         r["k"] for r in out if r["is_current"] and r["valid_from"] == "2001-06-01"
     }
     assert new_open == changed_keys | {k for k, _ in upd if k >= 5}
+
+
+str_rank_rows = st.lists(
+    st.tuples(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            min_size=0, max_size=12,
+        ),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[1],
+)
+
+
+@given(rows=str_rank_rows, desc=st.booleans())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_distributed_rank_string_keys(spark, rows, desc):
+    """String first keys rank through the order-preserving 8-byte
+    prefix surrogate — must equal the single-window rank for
+    arbitrary unicode, shared prefixes, and empty strings."""
+    from pyspark.sql.window import Window
+
+    from database_importer_spark.operators.ranking import with_global_row_number
+
+    df = spark.createDataFrame(rows, "s string, tb int").repartition(5)
+    got = {
+        (r["s"], r["tb"]): r["rank"]
+        for r in with_global_row_number(
+            df, [("s", desc), ("tb", False)], num_buckets=4
+        ).collect()
+    }
+    cols = [F.col("s").desc() if desc else F.col("s").asc(), F.col("tb").asc()]
+    want = {
+        (r["s"], r["tb"]): r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*cols))
+        ).collect()
+    }
+    assert got == want
