@@ -179,6 +179,93 @@ def ivf_topk(
     )
 
 
+def kmeans_codebook(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Train an IVF coarse-quantizer codebook with Lloyd's algorithm,
+    expressed as pure DataFrame ops (no MLlib dependency, no RDDs):
+    seed centroids = the k lowest-id vectors (deterministic), then
+    ``iters`` rounds of (1) assign every vector to its nearest
+    centroid — broadcast join + partial-agg argmin, identical shape
+    to ivf_topk's assignment, no window over the corpus — and
+    (2) recompute centroids as per-list per-dimension means via
+    posexplode + (cid, dim) aggregation, so the shuffle carries
+    (cid, dim, partial sum, partial count) — never whole vectors.
+
+    Each round is one job over the corpus; centroids (k×dim doubles)
+    collect to the driver between rounds ONLY as the broadcast seed
+    of the next round — the k×64-value codebook is metadata-sized, as
+    in any IVF build. Returns (cid, centroid array<double>).
+    Distortion is non-increasing per Lloyd round (monotonicity is
+    pinned in tests); exactness of the final ANN answer is unaffected
+    — candidates are still exact-cosine verified."""
+    base = with_norm(corpus, vec_col, "v").select(
+        F.col(id_col).alias("__vid"), "v"
+    )
+    w = Window.orderBy("__vid")
+    cent = (
+        base.orderBy("__vid")
+        .limit(k)
+        .withColumn("cid", F.row_number().over(w) - 1)
+        .select("cid", F.col("v").alias("cv"))
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    for _ in range(iters):
+        assigned = (
+            base.join(F.broadcast(cent))
+            .groupBy("__vid")
+            .agg(
+                F.min(F.struct(dist2.alias("d"), F.col("cid").alias("cid"))).alias("m")
+            )
+            .select("__vid", F.col("m.cid").alias("cid"))
+        )
+        dims = (
+            base.join(assigned, "__vid")
+            .select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cent = (
+            dims.groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", (F.col("s") / F.col("n")).alias("m")))
+                ).alias("dm")
+            )
+            .select("cid", F.expr("transform(dm, e -> e.m)").alias("cv"))
+        )
+        cent = cent.localCheckpoint(eager=True)  # cut lineage per round
+    return cent.select("cid", F.col("cv").alias("centroid"))
+
+
+def quantization_distortion(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> float:
+    """Mean squared distance of every vector to its nearest centroid
+    — the quantity Lloyd minimizes; used to test convergence."""
+    base = with_norm(corpus, vec_col, "v").select(F.col(id_col).alias("__vid"), "v")
+    c = centroids.select("cid", F.col("centroid").alias("cv"))
+    dist2 = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    row = (
+        base.join(F.broadcast(c))
+        .groupBy("__vid")
+        .agg(F.min(dist2).alias("d"))
+        .agg(F.avg("d").alias("mse"))
+        .collect()[0]
+    )
+    return float(row["mse"])
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1198,3 +1198,25 @@ def llm_tfidf_cosine_pairs(spark, sf_dir):
         .filter(cos >= 0.60)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+@declare("llm_similarity_ivf_kmeans", oracle=None)
+def llm_similarity_ivf_kmeans(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer: 2 Lloyd rounds over the
+    corpus (operators/similarity.kmeans_codebook — broadcast-argmin
+    assignment + (cid, dim) mean aggregation, no MLlib, no RDDs),
+    then the same nprobe=2 probe + exact-cosine verify as
+    llm_similarity_ivf. Rows-only: per-dimension float means are not
+    bit-reproducible in SQL; the seeded-centroid twin
+    (llm_similarity_ivf) carries the exact oracle, and Lloyd
+    monotonicity + answer validity are pinned in
+    tests/test_operators.py."""
+    e = t(spark, sf_dir, "embeddings")
+    book = S.kmeans_codebook(e, "vec_id", "embedding", k=16, iters=2)
+    cent = book.select(
+        F.col("cid").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    return S.ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), cent, "vec_id", "embedding",
+        k=3, nprobe=2,
+    )

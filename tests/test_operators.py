@@ -573,3 +573,29 @@ def test_gap_fill_deterministic_on_tied_timestamps(spark):
     assert filled["2024-01-01 00:00:00"] == 9.0  # max of tied obs
     assert filled["2024-01-01 01:00:00"] == 9.0  # carried forward
     assert filled["2024-01-01 02:00:00"] == 1.0
+
+
+def test_kmeans_codebook_reduces_distortion_and_improves_ivf(spark, emb):
+    """Lloyd monotonicity: trained codebook distortion <= seed-centroid
+    distortion; and the trained codebook still drives ivf_topk to a
+    valid exact-scored answer."""
+    from database_importer_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_codebook,
+        quantization_distortion,
+    )
+
+    seed = kmeans_codebook(emb, "vec_id", "embedding", k=8, iters=0)
+    trained = kmeans_codebook(emb, "vec_id", "embedding", k=8, iters=2)
+    d0 = quantization_distortion(emb, seed, "vec_id", "embedding")
+    d2 = quantization_distortion(emb, trained, "vec_id", "embedding")
+    assert d2 <= d0 + 1e-9, (d0, d2)
+
+    q = emb.filter(F.col("vec_id") < 3)
+    cent = trained.select(
+        F.col("cid").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    out = ivf_topk(emb, q, cent, "vec_id", "embedding", k=3, nprobe=2).collect()
+    assert {r["query_id"] for r in out} == {0, 1, 2}
+    for r in out:
+        assert -1.0 <= r["cosine"] <= 1.0
