@@ -1229,3 +1229,69 @@ def llm_similarity_ivf_kmeans(spark, sf_dir):
         e, e.filter(F.col("vec_id") < 5), cent, "vec_id", "embedding",
         k=3, nprobe=2,
     )
+
+
+@declare(
+    "llm_embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                   AS scale,
+               embedding
+        FROM embeddings
+    ),
+    recon AS (
+        SELECT vec_id, scale,
+               list_transform(embedding,
+                   x -> floor(x::DOUBLE * 127 / scale + 0.5) * scale / 127)
+                   AS r,
+               list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM q
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale_r,
+           ROUND(list_max(list_transform(generate_series(1, 64),
+                 i -> abs(v[i] - r[i]))), 6) AS max_abs_err,
+           ROUND(list_sum(list_transform(generate_series(1, 64),
+                 i -> abs(v[i] - r[i]))) / 64, 6) AS mean_abs_err
+    FROM recon
+    """,
+)
+def llm_embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization + reconstruction-error
+    audit — the storage/bandwidth op of a 100 TB embedding store (4×
+    smaller than float32, dot products stay SIMD-able). Per-vector
+    absmax scale; quantize as floor(x·127/scale + 0.5) — floor is
+    IEEE-exact in both engines, so the quantized codes (and hence the
+    error stats) are bit-identical cross-engine, unlike round()
+    whose half-way rule differs by engine. Map-only: no shuffle, no
+    Python; ROUND(6) only on the final reported stats. The audit
+    bounds max|err| ≤ scale/254 by construction — a wrong scale or
+    transposed dim shows up immediately."""
+    e = t(spark, sf_dir, "embeddings")
+    v = "transform(embedding, x -> cast(x as double))"
+    out = e.select(
+        "vec_id",
+        F.expr(f"array_max(transform({v}, x -> abs(x)))").alias("scale"),
+        F.expr(v).alias("v"),
+    ).select(
+        "vec_id",
+        "scale",
+        F.expr(
+            "zip_with(v, transform(v, x -> floor(x * 127 / scale + 0.5)"
+            " * scale / 127), (a, b) -> abs(a - b))"
+        ).alias("errs"),
+    )
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.round(F.array_max("errs"), 6).alias("max_abs_err"),
+        F.round(
+            F.expr(
+                "aggregate(errs, cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+            / 64,
+            6,
+        ).alias("mean_abs_err"),
+    )
