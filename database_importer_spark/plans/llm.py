@@ -1125,6 +1125,7 @@ def llm_domain_rebalance(spark, sf_dir):
                     6) * 1000000) AS BIGINT) AS wq
         FROM tok JOIN df ON df.term = tok.term, N
         WHERE df.doc_freq * 2 < (SELECT n FROM N)
+          AND df.doc_freq <= 4000
     ),
     norms AS (
         SELECT doc_id, sqrt(CAST(SUM(wq * wq) AS DOUBLE)) AS nrm
@@ -1170,7 +1171,10 @@ def llm_tfidf_cosine_pairs(spark, sf_dir):
     post = (
         tok.join(df, "term")
         .crossJoin(F.broadcast(n))
-        .filter(F.col("doc_freq") * 2 < F.col("__n"))
+        .filter(
+            (F.col("doc_freq") * 2 < F.col("__n"))
+            & (F.col("doc_freq") <= 4000)
+        )
         .select(
             "doc_id",
             "term",
