@@ -88,6 +88,9 @@ def win_distribution_ranks(spark, sf_dir):
     """,
 )
 def fn_conditional_core(spark, sf_dir):
+    """Null-handling kernel (coalesce/nullif/nvl2/least/greatest) —
+    codegen expressions; the SQL-semantics corners (NULL propagation
+    through least/greatest) are pinned by the exact oracle."""
     o = t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -133,6 +136,9 @@ def fn_hash_digest(spark, sf_dir):
     """,
 )
 def fn_bitwise_core(spark, sf_dir):
+    """Bitwise kernel (and/or/xor/shifts/bit_count) — codegen; used
+    by the engine itself for SimHash banding and bucket ids, so the
+    cross-engine bit semantics are oracle-pinned here once."""
     o = t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     return o.select(
@@ -161,6 +167,9 @@ def fn_bitwise_core(spark, sf_dir):
     """,
 )
 def fn_string_extra(spark, sf_dir):
+    """Extended string kernel (split/regexp/translate/lpad/levenshtein
+    etc.) — codegen JVM expressions; regexp flavors differ between
+    engines, so the oracle pins the exact dialect-compatible subset."""
     p = t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",

@@ -335,6 +335,10 @@ def llm_text_tokenize_tf(spark, sf_dir):
     """,
 )
 def llm_text_stats(spark, sf_dir):
+    """Corpus composition audit: per-(lang, source) doc counts and
+    char/token distribution moments — the first query run on any new
+    crawl. One partial+final aggregate; the text column itself never
+    shuffles (only per-group partials do)."""
     d = t(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -98,6 +98,9 @@ def sink_parquet_partitioned(spark, sf_dir):
     """,
 )
 def filter_comparison(spark, sf_dir):
+    """Comparison + BETWEEN predicates — both push down to the
+    parquet scan (row-group pruning on min/max stats), so at 100 TB
+    only matching row groups are read at all."""
     li = t(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_quantity") > 30) & F.col("l_discount").between(0.02, 0.06)
@@ -113,6 +116,9 @@ def filter_comparison(spark, sf_dir):
     """,
 )
 def filter_in_like(spark, sf_dir):
+    """IN-list + LIKE predicates: the IN converts to an OR chain that
+    pushes to the scan; LIKE with a leading wildcard stays a residual
+    filter (no stats can prune it) — both map-side, no shuffle."""
     p = t(spark, sf_dir, "part")
     return p.filter(
         F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
@@ -246,6 +252,9 @@ def join_left_semi(spark, sf_dir):
     """,
 )
 def join_left_anti(spark, sf_dir):
+    """NOT-EXISTS as left_anti: orders with no rich customer. The
+    filtered dim broadcasts, so the fact side streams map-side — the
+    same no-fact-shuffle shape the merge insert-half uses."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
     return o.join(c, o.o_custkey == c.c_custkey, "left_anti").select(

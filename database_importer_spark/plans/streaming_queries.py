@@ -22,6 +22,10 @@ from database_importer_spark.streaming import windows as W
     """,
 )
 def stream_tumbling_window(spark, sf_dir):
+    """1-hour tumbling windows per event type through the REAL
+    micro-batch + watermark + state-store machinery (bounded
+    availableNow replay, complete mode) — the oracle is the batch
+    twin, which the bounded replay must reproduce exactly."""
     ev = W.read_events_stream(spark, sf_dir)
     return W.run_bounded(W.tumbling_counts(ev), "complete")
 

@@ -53,6 +53,9 @@ def win_rank_topk_per_group(spark, sf_dir):
     """,
 )
 def win_lag_lead(spark, sf_dir):
+    """lag/lead over (user, time): one hash shuffle on user_id, sort
+    within partition; event_id tiebreak makes the frame total-ordered
+    and the result deterministic at any parallelism."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
@@ -219,6 +222,8 @@ def limit_topk_global(spark, sf_dir):
     """,
 )
 def set_union_all(spark, sf_dir):
+    """UNION ALL is a zero-shuffle plan concatenation — partitions of
+    both inputs are simply owned by the union; nothing moves."""
     c = t(spark, sf_dir, "customer")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 7000).select("c_custkey")
@@ -234,6 +239,9 @@ def set_union_all(spark, sf_dir):
     """,
 )
 def set_union_distinct(spark, sf_dir):
+    """UNION DISTINCT = union + hash aggregate on all columns: pays
+    one shuffle for the dedup (keys only — project before the union
+    at scale so the shuffle stays narrow)."""
     c = t(spark, sf_dir, "customer")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 7000).select("c_custkey")
@@ -249,6 +257,9 @@ def set_union_distinct(spark, sf_dir):
     """,
 )
 def set_intersect(spark, sf_dir):
+    """INTERSECT compiles to a left_semi join under distinct — one
+    shuffle per side on the compared columns, no materialized
+    intermediate."""
     o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
     c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
     return o.intersect(c)
@@ -291,6 +302,9 @@ def set_except(spark, sf_dir):
     """,
 )
 def fn_string_core(spark, sf_dir):
+    """Core string kernel (concat/substr/trim/case/length/replace) —
+    all whole-stage-codegen expressions (plan-tested): zero Python,
+    zero shuffle, scan-speed at any scale."""
     p = t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -448,6 +462,9 @@ def fn_json_extract(spark, sf_dir):
     """,
 )
 def fn_case_when(spark, sf_dir):
+    """CASE/WHEN banding + conditional aggregation: the CASE stays in
+    codegen; the banded aggregate is partial+final so the shuffle
+    carries one row per (band, partition)."""
     o = t(spark, sf_dir, "orders")
     band = (
         F.when(F.col("o_totalprice") < 50000, "small")

@@ -304,3 +304,26 @@ def test_repetition_score_is_map_only(spark):
     plan = explain(spark, "llm_repetition_score")
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
+
+
+def test_registry_contract():
+    """Driver-contract hygiene: every declared query is callable, has
+    a docstring stating its semantics/scale story, a unique key, and
+    either an oracle string or an explicit rows-only (None)."""
+    assert len(REGISTRY) >= 148
+    for key, q in REGISTRY.items():
+        assert callable(q.fn), key
+        assert q.fn.__doc__ and len(q.fn.__doc__) > 40, f"{key} lacks docstring"
+        assert q.oracle is None or (
+            isinstance(q.oracle, str) and "SELECT" in q.oracle.upper()
+        ), key
+    rows_only = {k for k, q in REGISTRY.items() if q.oracle is None}
+    # rows-only must stay the justified hash-seeded set, nothing else
+    assert rows_only == {
+        "llm_dedup_near_minhash",       # xxhash64 minhash: no SQL twin
+        "llm_dedup_simhash",            # xxhash64 fingerprints
+        "llm_similarity_lsh",           # bucket probe of xxhash-free planes, rows by SURVEY design
+        "llm_similarity_ivf_kmeans",    # float means not bit-reproducible in SQL
+        "llm_pack_sequences",           # bin-packing assignment is greedy/order-defined
+        "stream_late_data",             # watermark timing-dependent
+    }, rows_only
