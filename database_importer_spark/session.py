@@ -75,7 +75,6 @@ def get_spark(
         .config(
             "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/dbis_derby"
         )
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
