@@ -648,7 +648,17 @@ def llm_contamination_check(spark, sf_dir):
     deterministic splits — the standard decontamination pass. Shingles
     are sha2-hashed BEFORE the join on both engine and oracle sides:
     the shuffle carries fixed-width (digest, doc_id) pairs, raw text
-    never crosses an exchange — the 100 TB shape."""
+    never crosses an exchange.
+
+    The join is PRE-AGGREGATED per shingle, never instance×instance:
+    the train side collapses to one (shingle, min train doc) row and
+    the eval side dedupes to distinct (doc, shingle), so each eval
+    shingle matches EXACTLY one train row and join output is linear
+    in eval shingles. The naive instance-level join is quadratic in
+    per-shingle frequency — measured at sf10 it ran 166 s and then
+    killed the JVM (a shingle shared by thousands of docs per side
+    fans out to billions of rows); this shape runs in seconds on the
+    same input with identical results."""
     d = t(spark, sf_dir, "documents")
     h = (F.col("doc_id") * F.lit(2654435761)) % 100
     assigned = d.withColumn(
@@ -659,18 +669,22 @@ def llm_contamination_check(spark, sf_dir):
         .select("doc_id", "split", F.explode("shingle_arr").alias("__sh"))
         .select("doc_id", "split", F.sha2("__sh", 256).alias("shingle_h"))
     )
-    ev = sh.filter(F.col("split") == "eval").select(
-        F.col("doc_id").alias("eval_doc_id"), "shingle_h"
+    ev = (
+        sh.filter(F.col("split") == "eval")
+        .select(F.col("doc_id").alias("eval_doc_id"), "shingle_h")
+        .distinct()
     )
-    tr = sh.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_doc_id"), "shingle_h"
+    tr_agg = (
+        sh.filter(F.col("split") == "train")
+        .groupBy("shingle_h")
+        .agg(F.min("doc_id").alias("__min_tr"))
     )
     return (
-        ev.join(tr, "shingle_h")
+        ev.join(tr_agg, "shingle_h")
         .groupBy("eval_doc_id")
         .agg(
-            F.count_distinct("shingle_h").alias("n_shared_shingles"),
-            F.min("train_doc_id").alias("first_train_doc"),
+            F.count(F.lit(1)).alias("n_shared_shingles"),
+            F.min("__min_tr").alias("first_train_doc"),
         )
     )
 
