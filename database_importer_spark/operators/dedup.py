@@ -71,6 +71,128 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig.alias("minhash_sig"))
 
 
+MINHASH_PRIME = 1073741789  # largest prime < 2^30: a*h < 2^58 stays in int64
+
+
+def minhash_affine_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the affine MinHash
+    permutation family h_k(x) = (a_k*x + b_k) mod p. Seeded and baked
+    as literals on both the Spark and the oracle side, so the whole
+    MinHash pipeline is exact-oracle checkable (same trick as the
+    baked hyperplanes in plans/llm._lsh_dedup_oracle)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingle_arr",
+    num_hashes: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Cross-engine-exact MinHash signature: ONE md5 per shingle (28
+    bits of it) + k cheap affine permutations mod a prime < 2^30 —
+    the standard universal-hash family, with every operation (hex
+    parse, multiply, mod, min) having bit-identical semantics in
+    DuckDB, so the declared query carries a full exact oracle.
+
+    Scale note: still pure map-side per row (transform + array_min,
+    no explode, no shuffle); one md5 per shingle amortizes over all k
+    permutations, so it is CHEAPER than k seeded xxhash64 calls for
+    k ≥ ~4 while staying portable. At 100 TB nothing changes — the
+    signature column is k longs per row."""
+    params = minhash_affine_params(num_hashes, seed)
+    df = df.withColumn(
+        "__h28",
+        F.expr(
+            f"transform({shingle_col}, "
+            "s -> cast(conv(substr(md5(s), 1, 7), 16, 10) as bigint))"
+        ),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.expr(f"transform(__h28, h -> (h * {a} + {b}) % {MINHASH_PRIME})")
+            )
+            for (a, b) in params
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash_sig"))
+
+
+def lsh_candidate_pairs_portable(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Band buckets keyed by the *value string* of each band slice
+    (no engine-specific band hash — concat_ws is portable). Shuffle
+    carries (band_id, band_val, id) only; at 100 TB you would md5 the
+    band_val back down to 8 bytes before the exchange, which changes
+    bytes-on-wire, not the candidate set."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at(
+                                    "minhash_sig", b * rows_per_band + r + 1
+                                )
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.3,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """minhash_near_dups with the portable md5+affine hash family —
+    bit-identical across engines, so the full pipeline (shingle →
+    signature → banding → exact-Jaccard verify) is exact-oracle
+    checkable. Same plan shape and shuffle profile as the xxhash64
+    variant."""
+    sh = shingles(df, text_col, shingle_n)
+    sigs = minhash_signatures_portable(sh, id_col, num_hashes=num_hashes, seed=seed)
+    cands = lsh_candidate_pairs_portable(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_pairs(sh, id_col, cands).filter(F.col("jaccard") >= threshold)
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
@@ -219,6 +341,39 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     fp = None
     for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return votes.select(F.col(id_col), fp.alias("simhash64"))
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str, id_col: str, nbits: int = 60
+) -> DataFrame:
+    """SimHash with a portable md5-derived token hash (60 bits = 15
+    hex chars, parsed identically by DuckDB), so fingerprints — and
+    hence band-blocked near-dup pairs — are exact-oracle checkable.
+    Same shape as simhash(): one explode + one nbits-sum aggregation,
+    all JVM-side; output is a 64-bit long whose top 64-nbits bits are
+    zero (band blocking over 64 bits remains pigeonhole-complete)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn(
+        "h", F.expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)")
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(nbits)
+        ]
+    )
+    fp = None
+    for b in range(nbits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

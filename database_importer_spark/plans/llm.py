@@ -92,31 +92,132 @@ def llm_dedup_jaccard_pairs(spark, sf_dir):
     return D.jaccard_pairs(sh, "doc_id", cand)
 
 
-@declare("llm_dedup_near_minhash", oracle=None)
+def _minhash_oracle(num_hashes=32, bands=8, seed=7, threshold=0.3) -> str:
+    """DuckDB twin of minhash_near_dups_portable. The md5-derived
+    28-bit base hash and the seeded affine permutation coefficients
+    are identical constants on both sides, so signatures, band
+    buckets, candidate pairs, and the exact-Jaccard verify all agree
+    bit-for-bit — the probabilistic pipeline becomes exact-oracle
+    checkable (same baking trick as _lsh_dedup_oracle)."""
+    from database_importer_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_affine_params,
+    )
+
+    params = minhash_affine_params(num_hashes, seed)
+    r = num_hashes // bands
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hh, h -> (h*{a}+{b}) % {MINHASH_PRIME}))"
+        for (a, b) in params
+    )
+    band_cols = ", ".join(
+        f"array_to_string(sig[{b * r + 1}:{b * r + r}], '_') AS bv{b}"
+        for b in range(bands)
+    )
+    same_band = " OR ".join(f"a.bv{b} = c.bv{b}" for b in range(bands))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(length(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+               )) AS shingle_arr
+        FROM documents
+    ),
+    hs AS (
+        SELECT doc_id, shingle_arr,
+               list_transform(shingle_arr,
+                   s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hh
+        FROM sh
+    ),
+    sig AS (SELECT doc_id, shingle_arr, [{sig_terms}] AS sig FROM hs),
+    banded AS (SELECT doc_id, shingle_arr, {band_cols} FROM sig),
+    cand AS (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               a.shingle_arr AS sa, c.shingle_arr AS sb
+        FROM banded a JOIN banded c
+          ON a.doc_id < c.doc_id AND ({same_band})
+    )
+    SELECT id_a, id_b,
+           CAST(length(list_intersect(sa, sb)) AS DOUBLE)
+           / CAST(length(list_distinct(sa || sb)) AS DOUBLE) AS jaccard
+    FROM cand
+    WHERE CAST(length(list_intersect(sa, sb)) AS DOUBLE)
+          / CAST(length(list_distinct(sa || sb)) AS DOUBLE) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@declare("llm_dedup_near_minhash", oracle=_minhash_oracle())
 def llm_dedup_near_minhash(spark, sf_dir):
     """MinHash(32)+LSH(8 bands) near-dup pipeline, exact-Jaccard-
-    verified at ≥0.3 (rows-only: xxhash64 has no cross-engine twin;
-    correctness of the verify math is covered by
-    llm_dedup_jaccard_pairs, and tests assert LSH pairs ⊆ exact
-    pairs)."""
+    verified at ≥0.3 — EXACT oracle: the portable md5+affine hash
+    family (operators/dedup.minhash_signatures_portable) is baked as
+    identical constants into the DuckDB twin, so the candidate set
+    and verify agree bit-for-bit. Scale shape unchanged: per-row
+    signatures (no explode), (band_id, band_val, id)-only shuffle,
+    Jaccard verify on candidates only. Tests additionally pin LSH
+    pairs ⊆ exact pairs and a measured recall floor."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    return D.minhash_near_dups(d, "text", "doc_id", threshold=0.3).orderBy(
+    return D.minhash_near_dups_portable(d, "text", "doc_id", threshold=0.3).orderBy(
         "id_a", "id_b"
     )
 
 
-@declare("llm_dedup_simhash", oracle=None)
+def _simhash_oracle(nbits=60, hamming_max=3) -> str:
+    """DuckDB twin of simhash_portable + simhash_band_pairs: the
+    md5-derived 60-bit token hash parses identically, the per-bit
+    vote sums and sign tests are plain integer SQL, and the band
+    split matches simhash_band_pairs's 4×16-bit layout — fingerprint,
+    blocking, and Hamming verify all agree bit-for-bit."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(nbits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(nbits)
+    )
+    bands = hamming_max + 1  # simhash_band_pairs rounds to a divisor of 64
+    width = 64 // bands
+    mask = (1 << width) - 1
+    same_band = " OR ".join(
+        f"((a.fp >> {i * width}) & {mask}) = ((c.fp >> {i * width}) & {mask})"
+        for i in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hs AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    votes AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id),
+    fps AS (SELECT doc_id, {fp} AS fp FROM votes)
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, c.fp)) AS BIGINT) AS hamming
+    FROM fps a JOIN fps c ON a.doc_id < c.doc_id AND ({same_band})
+    WHERE bit_count(xor(a.fp, c.fp)) <= {hamming_max}
+    ORDER BY id_a, id_b
+    """
+
+
+@declare("llm_dedup_simhash", oracle=_simhash_oracle())
 def llm_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup, band-blocked (rows-only: xxhash64-based).
-    64-bit fingerprints; candidates are same-band equi-join pairs
-    over hamming_max+1 fingerprint bands — by pigeonhole a COMPLETE
-    blocking for Hamming ≤ 3 (Manku et al., WWW'07), so this is the
-    brute-force answer at LSH cost. No cross join, no text in the
-    shuffle; completeness vs brute force is pinned in
+    """SimHash near-dup, band-blocked — EXACT oracle via the portable
+    md5-derived 60-bit token hash (operators/dedup.simhash_portable),
+    parsed identically by DuckDB. Candidates are same-band equi-join
+    pairs over hamming_max+1 fingerprint bands — by pigeonhole a
+    COMPLETE blocking for Hamming ≤ 3 (Manku et al., WWW'07), so this
+    is the brute-force answer at LSH cost. No cross join, no text in
+    the shuffle; completeness vs brute force is pinned in
     tests/test_operators.py."""
     d = t(spark, sf_dir, "documents")
-    fp = D.simhash(d.select("doc_id", "text"), "text", "doc_id")
-    return D.simhash_band_pairs(fp, "doc_id", hamming_max=3)
+    fp = D.simhash_portable(d.select("doc_id", "text"), "text", "doc_id")
+    return (
+        D.simhash_band_pairs(fp, "doc_id", hamming_max=3)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _lsh_dedup_oracle(num_planes=8, num_tables=6, dim=64, seed=42) -> str:
@@ -281,11 +382,46 @@ def llm_similarity_ivf(spark, sf_dir):
     )
 
 
-@declare("llm_similarity_lsh", oracle=None)
+def _lsh_topk_oracle(num_planes=4, dim=64, seed=42, k=3) -> str:
+    """DuckDB twin of lsh_topk: the seeded hyperplanes are baked as
+    literals (the _lsh_dedup_oracle trick), each projection uses the
+    identical multiply-then-sequential-sum fold, so bucket ids — and
+    hence the probed candidate sets and ranks — agree exactly."""
+    from database_importer_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, num_planes, seed)
+    bits = []
+    for p_i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        proj = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> embedding[i]::DOUBLE * list_extract({arr}::DOUBLE[], i)))"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p_i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT * FROM b WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               {_cos_sql('q.embedding', 'c.embedding')} AS cosine
+        FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, corpus_id, cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id) AS rn FROM scored)
+    WHERE rn <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@declare("llm_similarity_lsh", oracle=_lsh_topk_oracle())
 def llm_similarity_lsh(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN: probe only the query's bucket
-    (equi hash join on bucket id — no cross product). Rows-only;
-    tests assert recall against the brute-force baseline."""
+    (equi hash join on bucket id — no cross product). EXACT oracle:
+    the seeded hyperplanes are baked into the DuckDB twin so bucket
+    assignment, candidate sets, and ranks agree bit-for-bit; tests
+    additionally assert recall against the brute-force baseline."""
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return S.lsh_topk(e, q, "vec_id", "embedding", k=3, num_planes=4)

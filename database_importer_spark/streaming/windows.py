@@ -23,12 +23,32 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# events parquet physical schema with nanosAsLong on (ts is stored as
-# TIMESTAMP(NANOS) → surfaces as bigint; normalized after read).
-EVENTS_RAW_SCHEMA = (
+# events parquet physical schemas. Historically the driver generated
+# ts as TIMESTAMP(NANOS) (surfaces as bigint under nanosAsLong and is
+# normalized after read); current testdata ships TIMESTAMP(MICROS)
+# (a plain Spark timestamp). Streaming file sources need the schema
+# up front, so sniff the parquet footer and pick the matching one.
+EVENTS_RAW_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, "
     "event_type string, value double, props string"
 )
+EVENTS_RAW_SCHEMA_TS = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """True when events.parquet stores ts as TIMESTAMP(NANOS).
+    Footer-only read on the driver — no data pages touched."""
+    import pyarrow.parquet as pq
+
+    ts_type = (
+        pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+        .schema_arrow.field("ts")
+        .type
+    )
+    return getattr(ts_type, "unit", None) == "ns"
 
 _QCOUNTER = [0]
 
@@ -57,8 +77,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep ts as LTZ here; _ensure_nanos_readable pins the session
     # timezone to UTC so the values are still deterministic.
     _ensure_nanos_readable(spark)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_events_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream_dir = _events_stream_dir(sf_dir)
+    if _events_ts_is_nanos(sf_dir):
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA_NANOS).parquet(stream_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(EVENTS_RAW_SCHEMA_TS).parquet(stream_dir)
 
 
 def run_bounded(sdf: DataFrame, output_mode: str) -> DataFrame:
