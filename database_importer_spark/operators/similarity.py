@@ -230,13 +230,27 @@ def kmeans_codebook(
             base.join(assigned, "__vid")
             .select("cid", F.posexplode("v").alias("dim", "x"))
             .groupBy("cid", "dim")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            # DECIMAL accumulation makes the per-dimension sum order-
+            # independent (shuffle/merge order can't perturb the
+            # centroid), so the trained codebook is bit-reproducible
+            # across runs, partitionings, AND engines — what lets the
+            # kmeans IVF query carry an exact oracle. Mean = exact
+            # decimal sum cast to double, then one double division.
+            .agg(
+                F.sum(F.col("x").cast("decimal(25,10)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
         )
         cent = (
             dims.groupBy("cid")
             .agg(
                 F.array_sort(
-                    F.collect_list(F.struct("dim", (F.col("s") / F.col("n")).alias("m")))
+                    F.collect_list(
+                        F.struct(
+                            "dim",
+                            (F.col("s").cast("double") / F.col("n")).alias("m"),
+                        )
+                    )
                 ).alias("dm")
             )
             .select("cid", F.expr("transform(dm, e -> e.m)").alias("cv"))

@@ -14,5 +14,6 @@ from database_importer_spark.plans import streaming_queries  # noqa: F401
 from database_importer_spark.plans import udf_queries  # noqa: F401
 from database_importer_spark.plans import tpch  # noqa: F401
 from database_importer_spark.plans import extras  # noqa: F401
+from database_importer_spark.plans import pipeline_ops  # noqa: F401
 
 __all__ = ["REGISTRY", "DeclaredQuery", "declare"]

@@ -1367,16 +1367,99 @@ def llm_tfidf_cosine_pairs(spark, sf_dir):
     )
 
 
-@declare("llm_similarity_ivf_kmeans", oracle=None)
+def _kmeans_ivf_oracle(k=16, iters=2, dim=64, nprobe=2, topk=3) -> str:
+    """DuckDB twin of kmeans_codebook + ivf_topk: Lloyd's iterations
+    unrolled as chained CTEs. Exactness hinges on kmeans_codebook's
+    DECIMAL(25,10) centroid accumulation — the per-dimension sum is
+    order-independent, so Spark's shuffled partial aggregation and
+    DuckDB's sequential scan produce the identical decimal, and the
+    single decimal→double cast + division yields bit-identical
+    centroids. Assignment ties break to the lowest centroid id on
+    both sides (min(struct(d, cid)) ↔ ORDER BY d, cid)."""
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i])))"
+    )
+    ctes = [
+        "base AS (SELECT vec_id AS vid, "
+        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"cent0 AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, v AS cv "
+        f"FROM (SELECT vid, v FROM base ORDER BY vid LIMIT {k}))",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cent{it - 1}"
+        ctes.append(
+            f"asg{it} AS (SELECT vid, cid FROM ("
+            f"SELECT b.vid, c.cid, ROW_NUMBER() OVER (PARTITION BY b.vid "
+            f"ORDER BY {d2} ASC, c.cid) AS rn FROM base b, {prev} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"dims{it} AS (SELECT a.cid, i.i AS dim, "
+            f"sum(CAST(b.v[i.i] AS DECIMAL(25,10))) AS s, count(*) AS n "
+            f"FROM base b JOIN asg{it} a USING (vid), "
+            f"generate_series(1, {dim}) AS i(i) GROUP BY a.cid, i.i)"
+        )
+        ctes.append(
+            f"cent{it} AS (SELECT cid, array_agg(s::DOUBLE / n ORDER BY dim) AS ev "
+            f"FROM dims{it} GROUP BY cid)"
+            if it == iters
+            else f"cent{it} AS (SELECT cid, array_agg(s::DOUBLE / n ORDER BY dim) AS cv "
+            f"FROM dims{it} GROUP BY cid)"
+        )
+    cent = f"cent{iters}"
+    ctes.append(
+        "qs AS (SELECT vec_id AS query_id, embedding AS qv "
+        "FROM embeddings WHERE vec_id < 5)"
+    )
+    ctes.append(
+        f"""assigned AS (
+        SELECT corpus_id, cid FROM (
+            SELECT c.vec_id AS corpus_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_cos_sql('c.embedding', 'cent.ev')} DESC, cent.cid)
+                       AS rn
+            FROM embeddings c, {cent} cent
+        ) WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""probes AS (
+        SELECT query_id, cid FROM (
+            SELECT qs.query_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY qs.query_id
+                       ORDER BY {_cos_sql('qs.qv', 'cent.ev')} DESC, cent.cid) AS rn
+            FROM qs, {cent} cent
+        ) WHERE rn <= {nprobe})"""
+    )
+    ctes.append(
+        f"""scored AS (
+        SELECT p.query_id, a.corpus_id,
+               {_cos_sql('q2.embedding', 'c2.embedding')} AS cosine
+        FROM probes p
+        JOIN assigned a ON a.cid = p.cid AND a.corpus_id != p.query_id
+        JOIN embeddings c2 ON c2.vec_id = a.corpus_id
+        JOIN embeddings q2 ON q2.vec_id = p.query_id)"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, corpus_id, cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id) AS rn FROM scored)
+    WHERE rn <= {topk}
+    """
+    )
+
+
+@declare("llm_similarity_ivf_kmeans", oracle=_kmeans_ivf_oracle())
 def llm_similarity_ivf_kmeans(spark, sf_dir):
     """IVF with a TRAINED coarse quantizer: 2 Lloyd rounds over the
     corpus (operators/similarity.kmeans_codebook — broadcast-argmin
     assignment + (cid, dim) mean aggregation, no MLlib, no RDDs),
     then the same nprobe=2 probe + exact-cosine verify as
-    llm_similarity_ivf. Rows-only: per-dimension float means are not
-    bit-reproducible in SQL; the seeded-centroid twin
-    (llm_similarity_ivf) carries the exact oracle, and Lloyd
-    monotonicity + answer validity are pinned in
+    llm_similarity_ivf. EXACT oracle (round 3): centroid means
+    accumulate in DECIMAL(25,10) — order-independent, so the trained
+    codebook is bit-reproducible across partitionings and engines —
+    and the DuckDB twin unrolls the identical Lloyd iterations as
+    CTEs. Lloyd monotonicity + answer validity remain pinned in
     tests/test_operators.py."""
     e = t(spark, sf_dir, "embeddings")
     book = S.kmeans_codebook(e, "vec_id", "embedding", k=16, iters=2)

@@ -318,12 +318,65 @@ def test_registry_contract():
             isinstance(q.oracle, str) and "SELECT" in q.oracle.upper()
         ), key
     rows_only = {k for k, q in REGISTRY.items() if q.oracle is None}
-    # rows-only must stay the justified hash-seeded set, nothing else
+    # rows-only must stay the justified set, nothing else (round 3
+    # upgraded minhash/simhash/lsh-topk to exact via portable md5
+    # hashing — see operators/dedup.minhash_signatures_portable)
     assert rows_only == {
-        "llm_dedup_near_minhash",       # xxhash64 minhash: no SQL twin
-        "llm_dedup_simhash",            # xxhash64 fingerprints
-        "llm_similarity_lsh",           # bucket probe of xxhash-free planes, rows by SURVEY design
-        "llm_similarity_ivf_kmeans",    # float means not bit-reproducible in SQL
-        "llm_pack_sequences",           # bin-packing assignment is greedy/order-defined
+        "llm_pack_sequences",           # first-fit-decreasing is inherently sequential
         "stream_late_data",             # watermark timing-dependent
     }, rows_only
+
+
+def test_cdc_compacts_mapside_no_window(spark):
+    """cdc_apply_changelog must reduce versions with a partial
+    aggregate (map-side collapse) and never a per-key window — the
+    difference between one shuffled row per (partition, key) and
+    shuffling every change event at 100 TB."""
+    df = REGISTRY["cdc_apply_changelog"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max(struct" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_zorder_key_is_codegen_single_agg_exchange(spark):
+    """The Morton key must be pure integer codegen (no Python, no
+    extra shuffle to compute it): one partial+final agg exchange plus
+    the output sort only."""
+    df = REGISTRY["layout_zorder_cluster"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pack_greedy_one_exchange_partitioned_window(spark):
+    """llm_pack_greedy: the bucket hash partition feeds BOTH the
+    running-sum window and the audit aggregate (grouping on (bucket,
+    bin) is satisfied by clustering on bucket) — one exchange end to
+    end, and the window is never unpartitioned."""
+    df = REGISTRY["llm_pack_greedy"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(bucket" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stratified_sample_is_stateless_scan_plus_agg(spark):
+    """sample_stratified_hash: the keep-predicate is per-row codegen
+    over the scan — no join, no broadcast, no window; the audit agg
+    is the only exchange (plus the output sort)."""
+    df = REGISTRY["sample_stratified_hash"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_profiler_is_single_pass_then_cheap_reshape(spark):
+    """profile_table_stats: one scan feeds every per-column metric;
+    the per-column reshape unions projections of the single aggregate
+    row (no re-scan per column)."""
+    df = REGISTRY["profile_table_stats"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
