@@ -308,6 +308,73 @@ def llm_pack_greedy(spark, sf_dir):
     )
 
 
+# --- batch sessionization ------------------------------------------
+
+
+@declare(
+    "ts_sessionize_batch",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS ns
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+               AS duration_sec
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def ts_sessionize_batch(spark, sf_dir):
+    """Batch sessionization: per-user gap-based sessions (30-minute
+    inactivity closes a session) via lag + running-sum session ids —
+    the window-function twin of the streaming [stream_session_window]
+    (same semantics, no micro-batch machinery; this is how you
+    sessionize historical data in one pass). Full (ts, event_id)
+    tiebreak keeps session ids deterministic under equal timestamps.
+
+    Scale shape: both windows and the final aggregate share ONE hash
+    partition on user_id (Catalyst plans a single exchange); each
+    user's history sorts locally — the natural parallelism of
+    sessionization, no global sort anywhere. Skewed power users cost
+    one straggler task each; at 100 TB you'd pre-split ultra-hot
+    users by day and stitch boundary sessions in a second pass."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = ev.withColumn(
+        "ns",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) <= F.expr("INTERVAL 30 MINUTES"), 0
+        ).otherwise(1),
+    ).withColumn("sid", F.sum("ns").over(wsum))
+    return (
+        g.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.expr("timestampdiff(SECOND, min(ts), max(ts))")
+            .cast("long")
+            .alias("duration_sec"),
+        )
+        .drop("sid")
+        .orderBy("user_id", "session_start")
+    )
+
+
 # --- one-pass table profiler ---------------------------------------
 
 # (column, kind) spec for orders; kind drives which metrics apply.

@@ -373,6 +373,40 @@ def test_stratified_sample_is_stateless_scan_plus_agg(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Scale demonstration: when a selective dimension filter feeds a
+    shuffle join, Spark injects a runtime bloom filter on the fact
+    side's join key (might_contain over xxhash64), discarding
+    non-joining fact rows BEFORE the exchange — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    only rows that can match. Thresholds are lowered here because the
+    test tables are tiny; production defaults (10 GB application
+    side) trigger on their own at scale."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_profiler_is_single_pass_then_cheap_reshape(spark):
     """profile_table_stats: one scan feeds every per-column metric;
     the per-column reshape unions projections of the single aggregate
