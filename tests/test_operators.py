@@ -376,6 +376,32 @@ def test_pack_sequences_invariants(spark, sf_dir):
     assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
 
 
+def test_ffd_packs_no_worse_than_greedy_chunking(spark, sf_dir):
+    """Cross-check the two packers on identical inputs: first-fit-
+    decreasing (llm_pack_sequences path) must use no MORE bins than
+    the oracle-checkable next-fit chunker (llm_pack_greedy path) —
+    FFD's whole reason to exist is better fill. Next-fit's bin count
+    is its number of distinct (bucket, bin) groups at the same
+    budget; FFD respects capacity strictly, so compare against
+    next-fit with capacity-respecting semantics: count bins both ways
+    on the same per-bucket doc sets."""
+    from database_importer_spark.operators.packing import pack_sequences
+    from database_importer_spark.plans import REGISTRY
+
+    budget = 2048
+    greedy = REGISTRY["llm_pack_greedy"].fn(spark, sf_dir).collect()
+    greedy_bins = len({(r["bucket"], r["bin"]) for r in greedy})
+    docs = (
+        REGISTRY["llm_pack_greedy"]
+        .fn(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "greatest(n_chars div 4, 1) AS n_tokens")
+    )
+    ffd = pack_sequences(docs, "doc_id", "n_tokens", budget).collect()
+    ffd_bins = len({r["bin_id"] for r in ffd})
+    assert ffd_bins <= greedy_bins, (ffd_bins, greedy_bins)
+
+
 def test_scd2_merge_branches(spark):
     from database_importer_spark.operators.scd2 import scd2_merge
 
