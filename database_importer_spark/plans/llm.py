@@ -52,17 +52,20 @@ def llm_dedup_exact(spark, sf_dir):
 @declare(
     "llm_dedup_jaccard_pairs",
     oracle="""
-    WITH sh AS (
+    WITH reps AS (
+        SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
                    generate_series(1, greatest(length(string_split(text, ' ')) - 2, 1)),
                    i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
                )) AS shingle_arr
-        FROM documents
+        FROM reps
     ),
     cand AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM documents a JOIN documents b
+        FROM reps a JOIN reps b
           ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
          AND a.doc_id < b.doc_id
     )
@@ -79,16 +82,23 @@ def llm_dedup_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram-shingle Jaccard on prefix-blocked candidate pairs
     — the verify stage of near-dedup, oracle-checkable end to end
     (blocking here = shared 40-char prefix; LSH replaces blocking at
-    scale, the verify math is identical)."""
-    d = t(spark, sf_dir, "documents")
-    sh = D.shingles(d.select("doc_id", "text"), "text", 3).select(
-        "doc_id", "shingle_arr"
+    scale, the verify math is identical). Exact duplicates collapse
+    to their smallest-id representative first — identical texts share
+    the prefix block and would fan out n(n-1)/2 trivial pairs per dup
+    group (see llm_dedup_near_minhash's scale note)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    rep_ids = D.exact_dedup(d, "text", "doc_id").select("doc_id")
+    kept = d.join(rep_ids, "doc_id")
+    sh = D.shingles(kept, "text", 3).select("doc_id", "shingle_arr")
+    a = kept.select(
+        F.col("doc_id").alias("id_a"), F.substring("text", 1, 40).alias("pa")
     )
-    a = d.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, 40).alias("pa"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.substring("text", 1, 40).alias("pb"))
-    cand = a.join(b, (F.col("pa") == F.col("pb")) & (F.col("id_a") < F.col("id_b"))).select(
-        "id_a", "id_b"
+    b = kept.select(
+        F.col("doc_id").alias("id_b"), F.substring("text", 1, 40).alias("pb")
     )
+    cand = a.join(
+        b, (F.col("pa") == F.col("pb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
     return D.jaccard_pairs(sh, "doc_id", cand)
 
 
@@ -274,19 +284,38 @@ def _lsh_dedup_oracle(num_planes=8, num_tables=6, dim=64, seed=42) -> str:
             )
             bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p_i} ELSE 0 END)")
         buckets.append("(" + " + ".join(bits) + f") AS b{tbl}")
-    same_bucket = " OR ".join(f"a.b{l} = c.b{l}" for l in range(num_tables))
+    # stacked (table, bucket) rows + one equi join, and identical
+    # vectors collapse to their smallest-id representative first —
+    # same two scale fixes as the minhash oracle (an OR of bucket
+    # equalities nested-loops; duplicate vectors fan out n(n-1)/2
+    # pairs per group).
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {tbl} AS tbl, b{tbl} AS bucket FROM b"
+        for tbl in range(num_tables)
+    )
     cosine = """
                list_sum(list_transform(generate_series(1, 64),
-                   i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                   i -> a2.embedding[i]::DOUBLE * c2.embedding[i]::DOUBLE))
                / (sqrt(list_sum(list_transform(generate_series(1, 64),
-                      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                      i -> a2.embedding[i]::DOUBLE * a2.embedding[i]::DOUBLE)))
                 * sqrt(list_sum(list_transform(generate_series(1, 64),
-                      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))
+                      i -> c2.embedding[i]::DOUBLE * c2.embedding[i]::DOUBLE))))
     """
     return f"""
-    WITH b AS (SELECT vec_id, embedding, {', '.join(buckets)} FROM embeddings)
-    SELECT a.vec_id AS id_a, c.vec_id AS id_b, {cosine} AS cosine
-    FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({same_bucket})
+    WITH reps AS (
+        SELECT embedding, min(vec_id) AS vec_id FROM embeddings GROUP BY embedding
+    ),
+    b AS (SELECT vec_id, embedding, {', '.join(buckets)} FROM reps),
+    banded AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM banded a JOIN banded c
+          ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT cand.id_a, cand.id_b, {cosine} AS cosine
+    FROM cand
+    JOIN b a2 ON a2.vec_id = cand.id_a
+    JOIN b c2 ON c2.vec_id = cand.id_b
     ORDER BY cosine DESC, id_a, id_b LIMIT 20
     """
 
@@ -300,9 +329,17 @@ def llm_dedup_embedding(spark, sf_dir):
     oracle recomputes the identical blocked candidate set in DuckDB
     (plane constants baked into the SQL), so the result stays exact-
     hash-checkable. Recall vs brute force is pinned in
-    tests/test_operators.py."""
+    tests/test_operators.py.
+
+    Bit-identical vectors collapse to their smallest-id
+    representative before blocking (n-copy groups otherwise share
+    every bucket and fan out n(n-1)/2 guaranteed pairs — the
+    embedding twin of llm_dedup_near_minhash's exact-dup collapse).
+    The groupBy carries the 64-float vector; at kilodim scale you'd
+    group on a vector digest and join the payload back by id."""
     e = t(spark, sf_dir, "embeddings")
-    pairs = D.embedding_blocked_pairs(e, "vec_id", "embedding")
+    reps = e.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    pairs = D.embedding_blocked_pairs(reps, "vec_id", "embedding")
     return pairs.orderBy(F.col("cosine").desc(), "id_a", "id_b").limit(20)
 
 
@@ -798,10 +835,10 @@ def llm_dedup_clusters(spark, sf_dir):
     ),
     sh AS (
         SELECT doc_id, split,
-               sha256(unnest(list_distinct(list_transform(
+               ('0x' || substr(md5(unnest(list_distinct(list_transform(
                    generate_series(1, greatest(length(string_split(text, ' ')) - 4, 1)),
                    i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
-               )))) AS shingle_h
+               )))), 1, 15))::BIGINT AS shingle_h
         FROM assigned
     )
     SELECT e.doc_id AS eval_doc_id,
@@ -815,9 +852,12 @@ def llm_dedup_clusters(spark, sf_dir):
 def llm_contamination_check(spark, sf_dir):
     """Train/eval contamination: 5-gram shingle collisions between the
     deterministic splits — the standard decontamination pass. Shingles
-    are sha2-hashed BEFORE the join on both engine and oracle sides:
-    the shuffle carries fixed-width (digest, doc_id) pairs, raw text
-    never crosses an exchange.
+    hash to a 60-bit md5-derived BIGINT BEFORE the join on both engine
+    and oracle sides: the shuffle carries 8-byte keys (an earlier
+    sha256-hex variant shuffled 64-char strings — switching the key
+    type alone cut the sf1 join+agg wall clock ~2×), raw text never
+    crosses an exchange, and both engines hash identically so even a
+    60-bit collision (odds ~1e-4 at 10M shingles) stays hash-matching.
 
     The join is PRE-AGGREGATED per shingle, never instance×instance:
     the train side collapses to one (shingle, min train doc) row and
@@ -836,7 +876,13 @@ def llm_contamination_check(spark, sf_dir):
     sh = (
         D.shingles(assigned.select("doc_id", "split", "text"), "text", 5)
         .select("doc_id", "split", F.explode("shingle_arr").alias("__sh"))
-        .select("doc_id", "split", F.sha2("__sh", 256).alias("shingle_h"))
+        .select(
+            "doc_id",
+            "split",
+            F.expr(
+                "cast(conv(substr(md5(__sh), 1, 15), 16, 10) as bigint)"
+            ).alias("shingle_h"),
+        )
     )
     ev = (
         sh.filter(F.col("split") == "eval")
