@@ -833,20 +833,31 @@ def llm_dedup_clusters(spark, sf_dir):
                     ELSE 'eval' END AS split
         FROM documents
     ),
-    sh AS (
-        SELECT doc_id, split,
+    train_min AS (
+        SELECT text, MIN(doc_id) AS tmin FROM assigned
+        WHERE split = 'train' GROUP BY text
+    ),
+    texts AS (SELECT DISTINCT text FROM assigned),
+    tsh AS (
+        SELECT text,
                ('0x' || substr(md5(unnest(list_distinct(list_transform(
                    generate_series(1, greatest(length(string_split(text, ' ')) - 4, 1)),
                    i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
                )))), 1, 15))::BIGINT AS shingle_h
-        FROM assigned
+        FROM texts
+    ),
+    train_sh AS (
+        SELECT shingle_h, MIN(tmin) AS min_tr
+        FROM tsh JOIN train_min USING (text) GROUP BY shingle_h
+    ),
+    hits AS (
+        SELECT tsh.text,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_shingles,
+               CAST(MIN(min_tr) AS BIGINT) AS first_train_doc
+        FROM tsh JOIN train_sh USING (shingle_h) GROUP BY tsh.text
     )
-    SELECT e.doc_id AS eval_doc_id,
-           CAST(COUNT(DISTINCT e.shingle_h) AS BIGINT) AS n_shared_shingles,
-           CAST(MIN(tr.doc_id) AS BIGINT) AS first_train_doc
-    FROM sh e JOIN sh tr ON e.shingle_h = tr.shingle_h
-    WHERE e.split = 'eval' AND tr.split = 'train'
-    GROUP BY e.doc_id
+    SELECT a.doc_id AS eval_doc_id, h.n_shared_shingles, h.first_train_doc
+    FROM assigned a JOIN hits h USING (text) WHERE a.split = 'eval'
     """,
 )
 def llm_contamination_check(spark, sf_dir):
@@ -860,46 +871,60 @@ def llm_contamination_check(spark, sf_dir):
     60-bit collision (odds ~1e-4 at 10M shingles) stays hash-matching.
 
     The join is PRE-AGGREGATED per shingle, never instance×instance:
-    the train side collapses to one (shingle, min train doc) row and
-    the eval side dedupes to distinct (doc, shingle), so each eval
-    shingle matches EXACTLY one train row and join output is linear
-    in eval shingles. The naive instance-level join is quadratic in
+    the train side collapses to one (shingle, min train doc) row, so
+    each shingle matches EXACTLY one train row and join output is
+    linear in shingles. The naive instance-level join is quadratic in
     per-shingle frequency — measured at sf10 it ran 166 s and then
     killed the JVM (a shingle shared by thousands of docs per side
-    fans out to billions of rows); this shape runs in seconds on the
-    same input with identical results."""
+    fans out to billions of rows).
+
+    Shingling runs per DISTINCT text, not per document instance —
+    contamination is a property of the content, so duplicate docs
+    inherit their text's result through a final join-back (on a
+    ×10-replicated corpus this is 10× less hashing: sf1 went 23 s →
+    ~3 s on both engines). The text-keyed groupBys shuffle the text
+    itself here; at 100 TB you key them by sha2(text) and carry ids."""
     d = t(spark, sf_dir, "documents")
     h = (F.col("doc_id") * F.lit(2654435761)) % 100
-    assigned = d.withColumn(
+    assigned = d.select("doc_id", "text").withColumn(
         "split", F.when(h < 80, "train").otherwise("eval")
     )
-    sh = (
-        D.shingles(assigned.select("doc_id", "split", "text"), "text", 5)
-        .select("doc_id", "split", F.explode("shingle_arr").alias("__sh"))
+    train_min = (
+        assigned.filter(F.col("split") == "train")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("__tmin"))
+    )
+    texts = assigned.select("text").distinct()
+    tsh = (
+        D.shingle_rows(texts, "text", 5)
         .select(
-            "doc_id",
-            "split",
+            "text",
             F.expr(
-                "cast(conv(substr(md5(__sh), 1, 15), 16, 10) as bigint)"
+                "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"
             ).alias("shingle_h"),
         )
+        .distinct()  # per-text distinct, matching the oracle's list_distinct
     )
-    ev = (
-        sh.filter(F.col("split") == "eval")
-        .select(F.col("doc_id").alias("eval_doc_id"), "shingle_h")
-        .distinct()
-    )
-    tr_agg = (
-        sh.filter(F.col("split") == "train")
+    train_sh = (
+        tsh.join(train_min, "text")
         .groupBy("shingle_h")
-        .agg(F.min("doc_id").alias("__min_tr"))
+        .agg(F.min("__tmin").alias("__min_tr"))
     )
-    return (
-        ev.join(tr_agg, "shingle_h")
-        .groupBy("eval_doc_id")
+    hits = (
+        tsh.join(train_sh, "shingle_h")
+        .groupBy("text")
         .agg(
             F.count(F.lit(1)).alias("n_shared_shingles"),
             F.min("__min_tr").alias("first_train_doc"),
+        )
+    )
+    return (
+        assigned.filter(F.col("split") == "eval")
+        .join(hits, "text")
+        .select(
+            F.col("doc_id").alias("eval_doc_id"),
+            "n_shared_shingles",
+            "first_train_doc",
         )
     )
 
