@@ -210,12 +210,17 @@ def minhash_near_dups_portable(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 7,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """minhash_near_dups with the portable md5+affine hash family —
     bit-identical across engines, so the full pipeline (shingle →
     signature → banding → exact-Jaccard verify) is exact-oracle
     checkable. Same plan shape and shuffle profile as the xxhash64
-    variant."""
+    variant, including the S-curve (bands, rows) derivation when
+    ``target_recall`` is set (recall floor pinned in tests)."""
+    if target_recall is not None:
+        bands, rows_per_band = lsh_params_for_recall(threshold, target_recall)
+        num_hashes = bands * rows_per_band
     sh = shingles(df, text_col, shingle_n)
     sigs = minhash_signatures_portable(sh, id_col, num_hashes=num_hashes, seed=seed)
     cands = lsh_candidate_pairs_portable(sigs, id_col, bands, num_hashes // bands)

@@ -163,6 +163,18 @@ def test_minhash_recall_floor_on_planted_corpus(spark):
     assert found <= exact  # exact-Jaccard verify: no false positives
     recall = len(found & exact) / len(exact)
     assert recall >= 0.9, f"MinHash-LSH recall {recall:.3f} < 0.9"
+    # the portable md5+affine family (the declared query's hash path,
+    # operators/dedup.minhash_near_dups_portable) must clear the same
+    # floor — hash family quality, not just the xxhash64 variant's
+    found_p = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dups_portable(
+            corpus, "text", "doc_id", threshold=0.5, target_recall=0.9
+        ).collect()
+    }
+    assert found_p <= exact
+    recall_p = len(found_p & exact) / len(exact)
+    assert recall_p >= 0.9, f"portable MinHash recall {recall_p:.3f} < 0.9"
 
 
 def test_simhash_identical_texts_collide(spark):
