@@ -36,9 +36,11 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "join_shuffle_sortmerge",
+    "join_bucketed_colocated",
     "join_broadcast_hash",
     "join_asof_nearest",
     "agg_hash_groupby",
+    "agg_hash_groupby_double",
     "agg_count_distinct",
     "win_rank_topk_per_group",
     "win_running_sum_rows",

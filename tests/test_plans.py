@@ -74,6 +74,40 @@ def test_agg_is_partial_then_final(spark):
     assert "ObjectHashAggregate" not in plan or True
 
 
+def test_count_distinct_has_no_expand(spark):
+    """Round-4 guarantee: agg_count_distinct plans the manual
+    two-level distinct (partial+final on (group, key), then count) —
+    never Catalyst's Expand rewrite, which duplicates every input row
+    before the shuffle (the measured 9.1× residual of rounds 1-3)."""
+    plan = explain(spark, "agg_count_distinct")
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 3  # partial+final × two levels
+
+
+def test_double_fast_path_agg_is_partial_then_final(spark):
+    """agg_hash_groupby_double: plain double aggregation with map-side
+    partials — no Expand, no decimal accumulators in the plan."""
+    plan = explain(spark, "agg_hash_groupby_double")
+    assert plan.count("HashAggregate") >= 2
+    assert "Expand" not in plan
+    tree = plan.split("\n\n")[0]
+    assert "decimal(25" not in tree.lower()
+
+
+def test_bucketed_join_eliminates_fact_shuffle(spark):
+    """join_bucketed_colocated: the catalog's bucketing metadata must
+    satisfy the SMJ's distribution requirement — ZERO Exchange under
+    the join; the final aggregate's exchange is the only one in the
+    plan. This is the persistent-layout answer to the fact⨝fact
+    shuffle tax at 100 TB."""
+    plan = explain(spark, "join_bucketed_colocated")
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    assert tree.count("Exchange") == 1  # only the groupBy agg
+    join_part = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in join_part
+
+
 def test_theta_range_join_stays_hash(spark):
     """Equi conjunct drives the join; range conjuncts are residual
     filters — never a nested-loop/cartesian plan."""
