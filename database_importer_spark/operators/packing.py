@@ -26,6 +26,7 @@ def pack_sequences(
     size_col: str,
     max_tokens: int,
     num_buckets: int = 8,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a bin of capacity ``max_tokens``.
 
@@ -33,6 +34,11 @@ def pack_sequences(
     are globally unique (bucket * 2^40 + local index). Oversized docs
     (> max_tokens) get a bin of their own rather than failing — the
     caller decides whether to truncate upstream.
+
+    ``bucket_col``: use an existing column as the bucket id instead
+    of the default xxhash64(id) % num_buckets — pass a portable hash
+    (e.g. the repo's multiplicative-hash convention) when the result
+    must be reproducible outside Spark (exact-oracle checking).
     """
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -64,8 +70,12 @@ def pack_sequences(
         out["bin_fill"] = fills.astype("int64")
         return out
 
+    bucket = (
+        F.col(bucket_col)
+        if bucket_col
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets))
+    )
     bucketed = df.select(
-        F.col(id_col), F.col(size_col),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).alias("__bucket"),
+        F.col(id_col), F.col(size_col), bucket.alias("__bucket")
     )
     return bucketed.groupBy("__bucket").applyInPandas(pack, OUT_SCHEMA)

@@ -513,14 +513,28 @@ def llm_similarity_lsh(spark, sf_dir):
     """,
 )
 def llm_text_tokenize_tf(spark, sf_dir):
-    """Corpus term frequencies, top-20: tokenize → explode → count.
-    Map-side partial agg means the shuffle carries (term, count) per
-    partition, not token instances."""
+    """Corpus term frequencies, top-20 — collapse-duplicates-first.
+    Tokenization work must scale with DISTINCT content, not corpus
+    rows (the round-3 dedup-family law): a crawl corpus is replication-
+    heavy, so first collapse identical texts to (text, multiplicity)
+    — partial agg dedupes map-side, the exchange carries each distinct
+    text once — then explode tokens of each distinct text exactly once
+    and weight every instance by its multiplicity. Explode volume (the
+    measured cost: one Generate output row per token) drops by the
+    corpus replication factor: 3.5 s → 0.6 s at the ×100-replicated
+    sf10 (≈DuckDB parity), identical result by distributivity of the
+    count. Non-replicated corpora pay one extra distinct-text exchange
+    (+0.08 s at sf0.1) — the right trade for the 100 TB crawl case.
+    Probe tools/probe_tf.py also rules out per-doc sorted-run counting
+    (11 s) and HOF run-length arrays (61 s, quadratic array_append)."""
     d = t(spark, sf_dir, "documents")
+    dist = d.groupBy("text").agg(F.count(F.lit(1)).alias("__mult"))
     return (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        dist.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("term"), "__mult"
+        )
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("term_count"))
+        .agg(F.sum("__mult").cast("bigint").alias("term_count"))
         .orderBy(F.col("term_count").desc(), "term")
         .limit(20)
     )
@@ -839,12 +853,13 @@ def llm_dedup_clusters(spark, sf_dir):
     ),
     texts AS (SELECT DISTINCT text FROM assigned),
     tsh AS (
-        SELECT text,
-               ('0x' || substr(md5(unnest(list_distinct(list_transform(
-                   generate_series(1, greatest(length(string_split(text, ' ')) - 4, 1)),
-                   i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
-               )))), 1, 15))::BIGINT AS shingle_h
-        FROM texts
+        SELECT DISTINCT text, shingle_h FROM (
+            SELECT text,
+                   ('0x' || substr(md5(unnest(list_transform(
+                       generate_series(1, greatest(length(string_split(text, ' ')) - 4, 1)),
+                       i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
+                   ))), 1, 15))::BIGINT AS shingle_h
+            FROM texts)
     ),
     train_sh AS (
         SELECT shingle_h, MIN(tmin) AS min_tr
@@ -868,7 +883,12 @@ def llm_contamination_check(spark, sf_dir):
     sha256-hex variant shuffled 64-char strings — switching the key
     type alone cut the sf1 join+agg wall clock ~2×), raw text never
     crosses an exchange, and both engines hash identically so even a
-    60-bit collision (odds ~1e-4 at 10M shingles) stays hash-matching.
+    60-bit collision (odds ~1e-4 at 10M shingles) stays hash-matching:
+    BOTH sides dedupe per text on the HASHED value (Spark distinct on
+    (text, shingle_h); the oracle's DISTINCT wraps the unnested md5s)
+    — round 4 aligned the oracle, which previously list_distinct'ed
+    raw shingles before hashing and would have disagreed by one row
+    on a within-text collision.
 
     The join is PRE-AGGREGATED per shingle, never instance×instance:
     the train side collapses to one (shingle, min train doc) row, so
@@ -1099,23 +1119,89 @@ def llm_embedding_stats(spark, sf_dir):
     )
 
 
-@declare("llm_pack_sequences", oracle=None)
+@declare(
+    "llm_pack_sequences",
+    oracle="""
+    WITH RECURSIVE
+    d AS (
+        SELECT doc_id, (doc_id * 2654435761) % 8 AS bucket,
+               n_chars // 4 AS n_tokens
+        FROM documents
+    ),
+    docs AS (
+        SELECT bucket, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY bucket
+                   ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM d
+    ),
+    ffd AS (
+        SELECT bucket, 0::BIGINT AS rn,
+               []::BIGINT[] AS rem, []::BIGINT[] AS ids, []::BIGINT[] AS bins
+        FROM (SELECT DISTINCT bucket FROM docs)
+        UNION ALL
+        SELECT f.bucket, dd.rn,
+               CASE WHEN pos IS NULL
+                    THEN list_append(f.rem, greatest(2048 - dd.n_tokens, 0))
+                    ELSE list_transform(generate_series(1, len(f.rem)),
+                            i -> CASE WHEN i = pos THEN f.rem[i] - dd.n_tokens
+                                 ELSE f.rem[i] END)
+               END,
+               list_append(f.ids, dd.doc_id),
+               list_append(f.bins,
+                   CASE WHEN pos IS NULL THEN len(f.rem) + 1 ELSE pos END)
+        FROM ffd f
+        JOIN docs dd ON dd.bucket = f.bucket AND dd.rn = f.rn + 1,
+        LATERAL (SELECT NULLIF(list_position(
+            list_transform(f.rem, r -> r >= dd.n_tokens), true), 0) AS pos) p
+    ),
+    final AS (
+        SELECT bucket, ids, bins,
+               row_number() OVER (PARTITION BY bucket ORDER BY rn DESC) AS rk
+        FROM ffd
+    ),
+    assigned AS (
+        SELECT bucket, unnest(ids) AS a_doc_id, unnest(bins) AS local_bin
+        FROM final WHERE rk = 1
+    )
+    SELECT a.a_doc_id AS doc_id,
+           (a.bucket * (1::BIGINT << 40) + (a.local_bin - 1))::BIGINT AS bin_id,
+           CAST(SUM(d.n_tokens) OVER (PARTITION BY a.bucket, a.local_bin)
+                AS BIGINT) AS bin_fill
+    FROM assigned a JOIN d ON d.doc_id = a.a_doc_id
+    """,
+)
 def llm_pack_sequences(spark, sf_dir):
     """Sample packing for pretraining: documents → fixed-token-budget
     bins via operators/packing.pack_sequences (first-fit-decreasing
     inside deterministic hash buckets, one Arrow batch per bucket —
     embarrassingly parallel, slightly worse fill than a global pack,
-    fully deterministic). Token counts estimated at n_chars/4. FFD is
-    inherently sequential, hence rows-only (no SQL oracle exists);
-    the packing invariants — every doc assigned exactly once, no bin
-    over budget, fill accounting exact — are pytest-pinned in
-    tests/test_operators.py."""
+    fully deterministic). Token counts estimated at n_chars/4.
+
+    EXACT-oracle since round 4 (was the last upgradable rows-only
+    check): FFD is sequential per bucket, but sequential-given-the-
+    sort is exactly what a recursive CTE expresses — the DuckDB twin
+    replays first-fit-decreasing one doc per recursion step, carrying
+    each bucket's remaining-capacity LIST as CTE state (same unrolled-
+    iteration technique that made k-means exact in r3). The bucket
+    hash is the repo's portable multiplicative hash — xxhash64 has no
+    DuckDB twin — so both engines bucket identically. Packing
+    invariants additionally pytest-pinned in tests/test_operators.py.
+
+    Scale: buckets pack independently on executors (one Arrow batch
+    per bucket; pick num_buckets ~ cluster cores at 100 TB); the
+    oracle's O(docs·bins) recursion is a test-scale device only."""
     from database_importer_spark.operators.packing import pack_sequences
 
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", (F.col("n_chars") / 4).cast("bigint").alias("n_tokens")
+        "doc_id",
+        (F.col("n_chars") / 4).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") * F.lit(2654435761)).cast("bigint").__mod__(8).alias(
+            "__pbucket"
+        ),
     )
-    return pack_sequences(d, "doc_id", "n_tokens", max_tokens=2048)
+    return pack_sequences(
+        d, "doc_id", "n_tokens", max_tokens=2048, bucket_col="__pbucket"
+    )
 
 
 @declare(

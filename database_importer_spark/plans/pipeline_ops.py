@@ -60,28 +60,39 @@ def cdc_apply_changelog(spark, sf_dir):
     1, every 7th key updated at seq 2, every 13th deleted at seq 3)
     so both engines build the identical stream.
 
-    Scale shape: ONE shuffle on the key with a partial-aggregating
-    max(struct(seq, op, price)) — no window over the fact table, so
-    a 100 TB changelog reduces map-side first (each partition
-    pre-collapses its versions) and the exchange carries one row per
-    (partition, key). This is the standard "compact a change stream"
-    pattern; swapping the synthetic log for a Kafka/Debezium source
-    changes the scan, not the plan."""
+    Scale shape: ONE SCAN of the source (round-4 fix — the former
+    3-arm union re-read orders three times; at 100 TB the changelog
+    is one source read once): each row emits its I/U/D versions as a
+    per-row array of (seq, op, price) structs — array/when/
+    array_compact are all codegen expressions, so the explode is
+    single-evaluation (the r3 lambda-HOF explode gotcha does not
+    apply) — then ONE shuffle on the key with a partial-aggregating
+    max(struct(seq, op, price)). No window over the fact table: a
+    100 TB changelog reduces map-side first and the exchange carries
+    one row per (partition, key). Swapping the synthetic log for a
+    Kafka/Debezium source changes the scan, not the plan. Plan pinned:
+    single FileScan + single Exchange (test_plans.py)."""
     o = t(spark, sf_dir, "orders")
-    key = F.col("o_orderkey").alias("key")
-    base = o.select(
-        key, F.lit(1).alias("seq"), F.lit("I").alias("op"),
-        F.col("o_totalprice").cast("double").alias("price"),
+    price = F.col("o_totalprice").cast("double")
+
+    def version(seq, op, p):
+        return F.struct(
+            F.lit(seq).alias("seq"), F.lit(op).alias("op"), p.alias("price")
+        )
+
+    arms = F.array_compact(
+        F.array(
+            version(1, "I", price),
+            F.when(F.col("o_orderkey") % 7 == 0, version(2, "U", price * 1.1)),
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                version(3, "D", F.lit(None).cast("double")),
+            ),
+        )
     )
-    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
-        key, F.lit(2).alias("seq"), F.lit("U").alias("op"),
-        (F.col("o_totalprice").cast("double") * 1.1).alias("price"),
-    )
-    dele = o.filter(F.col("o_orderkey") % 13 == 0).select(
-        key, F.lit(3).alias("seq"), F.lit("D").alias("op"),
-        F.lit(None).cast("double").alias("price"),
-    )
-    log = base.unionByName(upd).unionByName(dele)
+    log = o.select(
+        F.col("o_orderkey").alias("key"), F.explode(arms).alias("v")
+    ).select("key", "v.seq", "v.op", "v.price")
     latest = log.groupBy("key").agg(
         F.max(F.struct("seq", "op", "price")).alias("last"),
         F.count(F.lit(1)).alias("n_versions"),
@@ -409,6 +420,105 @@ def _profile_oracle() -> str:
             f"FROM orders"
         )
     return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+def _profile_approx_oracle() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"min({col})::DOUBLE", f"max({col})::DOUBLE"
+            ln = "NULL::BIGINT"
+        elif kind == "date":
+            mn = f"datediff('day', DATE '1970-01-01', min({col}))::DOUBLE"
+            mx = f"datediff('day', DATE '1970-01-01', max({col}))::DOUBLE"
+            ln = "NULL::BIGINT"
+        else:
+            mn = mx = "NULL::DOUBLE"
+            ln = f"CAST(max(length({col})) AS BIGINT)"
+        parts.append(
+            f"SELECT '{col}' AS column_name, "
+            f"CAST(count(*) - count({col}) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, {ln} AS max_len, "
+            f"TRUE AS approx_within_15pct "
+            f"FROM orders"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@declare("profile_table_stats_approx", oracle=_profile_approx_oracle())
+def profile_table_stats_approx(spark, sf_dir):
+    """The 100 TB profile path as a declared, verified query (round-4;
+    profile_table_stats's docstring used to promise it in prose).
+    HLL++ sketches (approx_count_distinct) are ordinary aggregate
+    buffers, so ALL metrics — nulls, min/max, lengths, AND the six
+    distinct estimates — fit in ONE streaming pass with no Expand
+    node and no distinct-shuffle of raw keys; sketches merge
+    associatively across 1000 executors. That single pass is the
+    production profiler (measured at sf10: 1.09 s vs 3.60 s for the
+    exact two-pass — see BASELINE.md). The exact distinct pass here
+    exists ONLY to grade the sketch: the declared result carries the
+    exact n_distinct (hash-checkable) plus a per-column
+    approx-within-15% verdict computed in-plan, the same
+    tolerance-verdict pattern as agg_approx_distinct — algorithm-
+    specific estimates can't hash-match across engines, the verdict
+    can."""
+    o = t(spark, sf_dir, "orders")
+    plain_aggs = []
+    dist_aggs = []
+    for col, kind in _PROFILE_COLS:
+        plain_aggs.append(
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"{col}__nulls")
+        )
+        plain_aggs.append(
+            F.approx_count_distinct(col).cast("long").alias(f"{col}__approx")
+        )
+        dist_aggs.append(F.countDistinct(col).cast("long").alias(f"{col}__distinct"))
+        if kind == "num":
+            plain_aggs.append(F.min(col).cast("double").alias(f"{col}__min"))
+            plain_aggs.append(F.max(col).cast("double").alias(f"{col}__max"))
+        elif kind == "date":
+            plain_aggs.append(
+                F.datediff(F.min(col), F.lit("1970-01-01"))
+                .cast("double")
+                .alias(f"{col}__min")
+            )
+            plain_aggs.append(
+                F.datediff(F.max(col), F.lit("1970-01-01"))
+                .cast("double")
+                .alias(f"{col}__max")
+            )
+        else:
+            plain_aggs.append(F.max(F.length(col)).cast("long").alias(f"{col}__len"))
+    one = o.agg(*plain_aggs).crossJoin(o.agg(*dist_aggs))
+    structs = []
+    for col, kind in _PROFILE_COLS:
+        has_num = kind in ("num", "date")
+        structs.append(
+            F.struct(
+                F.lit(col).alias("column_name"),
+                F.col(f"{col}__nulls").alias("n_nulls"),
+                F.col(f"{col}__distinct").alias("n_distinct"),
+                (F.col(f"{col}__min") if has_num else F.lit(None).cast("double")).alias(
+                    "min_num"
+                ),
+                (F.col(f"{col}__max") if has_num else F.lit(None).cast("double")).alias(
+                    "max_num"
+                ),
+                (
+                    F.lit(None).cast("long") if has_num else F.col(f"{col}__len")
+                ).alias("max_len"),
+                (
+                    F.abs(F.col(f"{col}__approx") - F.col(f"{col}__distinct"))
+                    <= 0.15 * F.col(f"{col}__distinct")
+                ).alias("approx_within_15pct"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*structs)).alias("m"))
+        .select("m.*")
+        .orderBy("column_name")
+    )
 
 
 @declare("profile_table_stats", oracle=_profile_oracle())

@@ -40,14 +40,20 @@ EVENTS_RAW_SCHEMA_TS = (
 
 def _events_ts_is_nanos(sf_dir: str) -> bool:
     """True when events.parquet stores ts as TIMESTAMP(NANOS).
-    Footer-only read on the driver — no data pages touched."""
+    Footer-only read on the driver — no data pages touched. Handles
+    both a single file and a directory-style parquet dataset (picks
+    the first part file; one dataset writes one physical type)."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    ts_type = (
-        pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
-        .schema_arrow.field("ts")
-        .type
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return False
+        path = parts[0]
+    ts_type = pq.read_schema(path).field("ts").type
     return getattr(ts_type, "unit", None) == "ns"
 
 _QCOUNTER = [0]

@@ -389,29 +389,46 @@ def test_pack_sequences_invariants(spark, sf_dir):
 
 
 def test_ffd_packs_no_worse_than_greedy_chunking(spark, sf_dir):
-    """Cross-check the two packers on identical inputs: first-fit-
-    decreasing (llm_pack_sequences path) must use no MORE bins than
-    the oracle-checkable next-fit chunker (llm_pack_greedy path) —
-    FFD's whole reason to exist is better fill. Next-fit's bin count
-    is its number of distinct (bucket, bin) groups at the same
-    budget; FFD respects capacity strictly, so compare against
-    next-fit with capacity-respecting semantics: count bins both ways
-    on the same per-bucket doc sets."""
+    """Cross-check the two packers on IDENTICAL per-bucket doc sets
+    with IDENTICAL capacity-strict semantics (round-4 fix: the old
+    version compared global FFD against 64-bucket next-fit whose bins
+    may overshoot via straddling docs — not comparable). Both sides
+    here use the same 64-way multiplicative-hash bucketing; the
+    reference next-fit is computed in-test, capacity-strict, in
+    doc_id order. Two assertions: the theorem-backed FFD bound
+    (ffd ≤ 11/9·OPT + 1 ≤ 11/9·next_fit + 1, per bucket summed), and
+    the empirical dominance ffd ≤ next_fit, which holds on this
+    deterministic corpus (FFD has no per-instance dominance theorem
+    over next-fit — anomalous instances exist — so the tight check
+    documents the fixed input rather than claiming a law)."""
     from database_importer_spark.operators.packing import pack_sequences
-    from database_importer_spark.plans import REGISTRY
 
     budget = 2048
-    greedy = REGISTRY["llm_pack_greedy"].fn(spark, sf_dir).collect()
-    greedy_bins = len({(r["bucket"], r["bin"]) for r in greedy})
-    docs = (
-        REGISTRY["llm_pack_greedy"]
-        .fn(spark, sf_dir)
-        .sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
-        .selectExpr("doc_id", "greatest(n_chars div 4, 1) AS n_tokens")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        "greatest(n_chars div 4, 1) AS n_tokens",
+        "(doc_id * 2654435761) % 64 AS bkt",
     )
-    ffd = pack_sequences(docs, "doc_id", "n_tokens", budget).collect()
+    rows = docs.collect()
+    per_bucket: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        per_bucket.setdefault(r["bkt"], []).append((r["doc_id"], r["n_tokens"]))
+    nf_bins = 0
+    for items in per_bucket.values():
+        items.sort()  # doc_id order, the next-fit stream order
+        rem = -1
+        for _, size in items:
+            if size > rem:
+                nf_bins += 1
+                rem = max(budget - size, 0)
+            else:
+                rem -= size
+    ffd = pack_sequences(
+        docs, "doc_id", "n_tokens", budget, bucket_col="bkt"
+    ).collect()
     ffd_bins = len({r["bin_id"] for r in ffd})
-    assert ffd_bins <= greedy_bins, (ffd_bins, greedy_bins)
+    assert ffd_bins <= (11 * nf_bins) // 9 + len(per_bucket), (ffd_bins, nf_bins)
+    assert ffd_bins <= nf_bins, (ffd_bins, nf_bins)
 
 
 def test_scd2_merge_branches(spark):

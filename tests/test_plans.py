@@ -353,10 +353,9 @@ def test_registry_contract():
         ), key
     rows_only = {k for k, q in REGISTRY.items() if q.oracle is None}
     # rows-only must stay the justified set, nothing else (round 3
-    # upgraded minhash/simhash/lsh-topk to exact via portable md5
-    # hashing — see operators/dedup.minhash_signatures_portable)
+    # made minhash/simhash/lsh-topk exact via portable md5 hashing;
+    # round 4 made FFD packing exact via a recursive-CTE replay)
     assert rows_only == {
-        "llm_pack_sequences",           # first-fit-decreasing is inherently sequential
         "stream_late_data",             # watermark timing-dependent
     }, rows_only
 
@@ -371,6 +370,9 @@ def test_cdc_compacts_mapside_no_window(spark):
     assert "Window" not in plan
     assert "partial_max(struct" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+    # round-4: the I/U/D arms come from per-row version arrays over a
+    # SINGLE scan — the former 3-arm union read the source three times
+    assert plan.count("FileScan parquet") == 1
 
 
 def test_zorder_key_is_codegen_single_agg_exchange(spark):
