@@ -49,6 +49,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # start shuffles fine-grained and let AQE coalesce DOWN: the
+        # spill-safety knob. At 32 static partitions a 60M-row
+        # fact-fact self-join (q21 at sf10) lands ~2M rows per task
+        # and dies with UNABLE_TO_ACQUIRE_MEMORY under local[32]'s
+        # shared heap; 8x more initial partitions keep every task's
+        # hash map inside its memory share, and AQE merges the small
+        # post-filter shuffles back so short queries see no extra
+        # task-scheduling cost.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
