@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from database_importer_spark.plans.registry import DEC, declare, t
+from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 
 
 @declare(
@@ -247,7 +247,7 @@ def agg_pivot(spark, sf_dir):
     return (
         li.groupBy("l_linestatus")
         .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .agg(dec4_sum(F.col("l_quantity")))
         .select(
             "l_linestatus",
             F.col("A").alias("qty_A"),
@@ -550,7 +550,9 @@ def agg_incremental_maintenance(spark, sf_dir):
     def partials(df):
         return df.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("__sum_dec"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
+            ).alias("__sum_q"),
         )
 
     state = partials(o.filter(F.col("o_orderdate") < cut))   # "yesterday"
@@ -560,6 +562,12 @@ def agg_incremental_maintenance(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.sum("n_orders").alias("n_orders"),
-            F.sum("__sum_dec").cast("double").alias("total_price"),
+            # merging LONG partials is the mergeable-state twin of the
+            # decimal merge: exact, and the final decimal conversion
+            # happens once per output group (registry.dec4_sum recipe)
+            (F.sum("__sum_q").cast("decimal(25,0)") / 10000)
+            .cast(DEC)
+            .cast("double")
+            .alias("total_price"),
         )
     )

@@ -18,7 +18,7 @@ from database_importer_spark.operators import dedup as D
 from database_importer_spark.operators import multimodal as M
 from database_importer_spark.operators import similarity as S
 from database_importer_spark.operators import textstats as X
-from database_importer_spark.plans.registry import DEC, declare, t
+from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 
 # --- dedup ----------------------------------------------------------
 
@@ -564,11 +564,11 @@ def llm_text_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
-        (F.sum(F.col("n_chars").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+        (dec4_sum(F.col("n_chars")) / F.count(F.lit(1))).alias(
             "avg_chars"
         ),
         (
-            F.sum(X.ws_token_count(F.col("text")).cast(DEC)).cast("double")
+            dec4_sum(X.ws_token_count(F.col("text")))
             / F.count(F.lit(1))
         ).alias("avg_ws_tokens"),
     )
@@ -1263,7 +1263,7 @@ def llm_pipeline_end2end(spark, sf_dir):
         .groupBy("part", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("n_chars").cast(DEC)).cast("double").alias("total_chars"),
+            dec4_sum(F.col("n_chars")).alias("total_chars"),
         )
     )
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from database_importer_spark.plans.registry import DEC, declare, t
+from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 
 # Knuth's multiplicative hash constant — already the repo convention
 # for deterministic splits (plans/extras.llm_split_train_val).
@@ -242,13 +242,9 @@ def sample_stratified_hash(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.count(F.when(kept, 1)).alias("n_sampled"),
-            F.sum(
-                F.when(kept, F.col("o_totalprice").cast(DEC)).otherwise(
-                    F.lit(0).cast(DEC)
-                )
-            )
-            .cast("double")
-            .alias("sampled_price"),
+            dec4_sum(
+                F.when(kept, F.col("o_totalprice")).otherwise(F.lit(0.0))
+            ).alias("sampled_price"),
             F.min(F.when(kept, F.col("o_orderkey"))).alias("first_key"),
         )
         .orderBy("stratum")
@@ -376,7 +372,7 @@ def ts_sessionize_batch(spark, sf_dir):
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            dec4_sum(F.col("value")).alias("sum_value"),
             F.expr("timestampdiff(SECOND, min(ts), max(ts))")
             .cast("long")
             .alias("duration_sec"),

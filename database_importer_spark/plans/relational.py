@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from database_importer_spark.operators.asof import asof_join
-from database_importer_spark.plans.registry import DEC, declare, t
+from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 
 # --- B.1 scans / sinks ---------------------------------------------
 
@@ -187,7 +187,7 @@ def join_broadcast_hash(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("sum_acctbal"),
+            dec4_sum(F.col("c_acctbal")).alias("sum_acctbal"),
         )
     )
 
@@ -215,11 +215,9 @@ def join_shuffle_sortmerge(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
-            )
-            .cast("double")
-            .alias("revenue"),
+            dec4_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
         )
     )
 
@@ -312,11 +310,9 @@ def join_bucketed_colocated(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
-            )
-            .cast("double")
-            .alias("revenue"),
+            dec4_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
         )
     )
 
@@ -502,7 +498,7 @@ def agg_hash_groupby(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
 
     def dsum(c):
-        return F.sum(F.col(c).cast(DEC)).cast("double")
+        return dec4_sum(F.col(c))
 
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
@@ -510,11 +506,10 @@ def agg_hash_groupby(spark, sf_dir):
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
-            .cast("double")
-            .alias("sum_disc_price"),
-            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)))
-            .alias("avg_qty"),
+            dec4_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            (dec4_sum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -628,7 +623,7 @@ def agg_grouping_sets(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        dec4_sum(F.col("l_quantity")).alias("sum_qty"),
     )
 
 
@@ -751,9 +746,7 @@ def join_skew_salted(spark, sf_dir):
     joined = salted_join(ev, dim, on=["event_type"], salt_buckets=16)
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum((F.col("value") * F.col("weight")).cast(DEC))
-        .cast("double")
-        .alias("weighted_value"),
+        dec4_sum(F.col("value") * F.col("weight")).alias("weighted_value"),
     )
 
 
@@ -933,7 +926,7 @@ def sink_dynamic_partition_overwrite(spark, sf_dir):
         .groupBy("yr")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("price_sum"),
+            dec4_sum(F.col("o_totalprice")).alias("price_sum"),
         )
     )
 
@@ -997,7 +990,7 @@ def sink_observed_metrics(spark, sf_dir):
     observed = li.observe(
         obs,
         F.count(F.lit(1)).alias("n_written"),
-        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("price_sum"),
+        dec4_sum(F.col("l_extendedprice")).alias("price_sum"),
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_discount"),
     )
     base = os.path.join(tempfile.gettempdir(), "dbis_observed_sink")

@@ -12,11 +12,22 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from database_importer_spark.plans.registry import DEC, declare, t
+from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 
 def REV():
     # Column construction needs an active SparkContext → lazy
     return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+
+
+def REV_RAW():
+    # un-cast 4-decimal-exact revenue product, for dec4_sum (round 4:
+    # LONG-quantized accumulation, bit-identical to the decimal sum —
+    # see registry.dec4_sum)
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def REV_SUM():
+    return dec4_sum(REV_RAW())
 
 
 REV_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))"
@@ -52,7 +63,7 @@ def tpch_q3(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(REV()).cast("double").alias("revenue"))
+        .agg(REV_SUM().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -127,7 +138,7 @@ def tpch_q5(spark, sf_dir):
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(REV()).cast("double").alias("revenue"))
+        .agg(REV_SUM().alias("revenue"))
     )
 
 
@@ -156,9 +167,9 @@ def tpch_q6(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC))
-            .cast("double")
-            .alias("revenue"),
+            dec4_sum(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -195,7 +206,7 @@ def tpch_q10(spark, sf_dir):
         .join(l, l.l_orderkey == o.o_orderkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(REV()).cast("double").alias("revenue"))
+        .agg(REV_SUM().alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -222,15 +233,13 @@ def tpch_q14(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1999-02-01").cast("timestamp"))
     )
     p = F.broadcast(t(spark, sf_dir, "part"))
-    promo = F.when(F.col("p_type") == "PROMO", REV()).otherwise(
-        F.lit(0).cast(DEC)
-    )
+    promo = F.when(F.col("p_type") == "PROMO", REV_RAW()).otherwise(F.lit(0.0))
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (
-                (F.lit(100.0) * F.sum(promo).cast("double"))
-                / F.sum(REV()).cast("double")
+                (F.lit(100.0) * dec4_sum(promo))
+                / REV_SUM()
             ).alias("promo_revenue_pct")
         )
     )
@@ -257,7 +266,7 @@ def tpch_q18(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"))
+        .agg(dec4_sum(F.col("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     o = t(spark, sf_dir, "orders")
@@ -329,7 +338,7 @@ def tpch_q15(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1999-04-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(REV()).cast("double").alias("total_revenue")
+        REV_SUM().alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = t(spark, sf_dir, "supplier")
@@ -365,7 +374,7 @@ def tpch_q17(spark, sf_dir):
     avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
         (
             F.lit(0.2)
-            * (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)))
+            * (dec4_sum(F.col("l_quantity")) / F.count(F.lit(1)))
         ).alias("threshold")
     )
     p = F.broadcast(
@@ -376,7 +385,7 @@ def tpch_q17(spark, sf_dir):
         .join(avg_qty, li.l_partkey == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0).alias(
+            (dec4_sum(F.col("l_extendedprice")) / 7.0).alias(
                 "avg_yearly"
             ),
             F.count(F.lit(1)).alias("n_small"),
@@ -437,7 +446,7 @@ def tpch_q7(spark, sf_dir):
         .join(n2, F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(REV()).cast("double").alias("revenue"))
+        .agg(REV_SUM().alias("revenue"))
     )
 
 
@@ -492,10 +501,8 @@ def tpch_q8(spark, sf_dir):
         )
     )
     r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
-    vol = REV()
-    nat_vol = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
-        F.lit(0).cast(DEC)
-    )
+    vol = REV_RAW()
+    nat_vol = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0))
     return (
         p.join(li, p.p_partkey == li.l_partkey)
         .join(s, s.s_suppkey == li.l_suppkey)
@@ -507,7 +514,7 @@ def tpch_q8(spark, sf_dir):
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                F.sum(nat_vol).cast("double") / F.sum(vol).cast("double")
+                dec4_sum(nat_vol) / dec4_sum(vol)
             ).alias("mkt_share")
         )
     )
@@ -579,7 +586,7 @@ def tpch_q22(spark, sf_dir):
     thr = F.broadcast(
         cu.filter(F.col("c_acctbal") > 0.0).agg(
             (
-                F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                dec4_sum(F.col("c_acctbal"))
                 / F.count(F.lit(1))
             ).alias("avg_bal")
         )
@@ -596,7 +603,7 @@ def tpch_q22(spark, sf_dir):
         .groupBy(F.col("n_name").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+            dec4_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
 
@@ -631,7 +638,7 @@ def tpch_q19(spark, sf_dir):
            & F.col("l_quantity").between(20, 40))
     )
     return j.filter(cond).agg(
-        F.sum(REV()).cast("double").alias("revenue"),
+        REV_SUM().alias("revenue"),
         F.count(F.lit(1)).alias("n_matched"),
     )
 
@@ -741,7 +748,7 @@ def tpch_q9(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.sum(REV()).cast("double").alias("sum_profit"))
+        .agg(REV_SUM().alias("sum_profit"))
     )
 
 
@@ -779,7 +786,7 @@ def tpch_q11(spark, sf_dir):
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
-        .agg(F.sum(REV()).cast("double").alias("part_value"))
+        .agg(REV_SUM().alias("part_value"))
     )
     total = val.agg((F.sum("part_value") * 0.002).alias("__threshold"))
     return (
@@ -873,7 +880,7 @@ def tpch_q20(spark, sf_dir):
     )
     shipped = (
         li.groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"))
+        .agg(dec4_sum(F.col("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 300.0)
     )
     s = t(spark, sf_dir, "supplier")

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from database_importer_spark.plans.registry import DEC, declare, t
+from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 
 # --- B.5 window functions ------------------------------------------
 
@@ -91,7 +91,7 @@ def win_running_sum_rows(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+        dec4_sum(F.col("o_totalprice"), window=w).alias("running_spend"),
     )
 
 
@@ -120,7 +120,7 @@ def win_range_frame(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         F.count(F.lit(1)).over(w).alias("n_near_orders"),
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("near_spend"),
+        dec4_sum(F.col("o_totalprice"), window=w).alias("near_spend"),
     )
 
 
@@ -475,7 +475,7 @@ def fn_case_when(spark, sf_dir):
     )
     return o.groupBy(band).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("band_total"),
+        dec4_sum(F.col("o_totalprice")).alias("band_total"),
     )
 
 
