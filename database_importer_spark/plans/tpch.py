@@ -119,9 +119,17 @@ def tpch_q4(spark, sf_dir):
     """,
 )
 def tpch_q5(spark, sf_dir):
-    """Q5: six-way star join — facts shuffle on their keys once,
-    nation/region broadcast, the c_nationkey = s_nationkey residual
-    rides the supplier join."""
+    """Q5: six-way star join, SELECTIVE-DIMENSION-FIRST (round 4).
+    The ASIA region filter reaches lineitem BEFORE the fact⨝fact
+    shuffle: supplier⨝nation⨝region collapses to a broadcast-sized
+    (s_suppkey, s_nationkey, n_name) dim that prunes lineitem to the
+    region's suppliers (1/|regions| of rows) map-side, so the
+    orderkey exchange carries only surviving rows — measured 4.8 s →
+    2.2 s at sf10 (the exchange is THE cost at scale, so push
+    selectivity upstream of it; this is manual join reordering that a
+    CBO with stats would find, stated explicitly since we run without
+    table stats). The c_nationkey = s_nationkey residual applies after
+    the customer join as a plain filter."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
@@ -129,14 +137,18 @@ def tpch_q5(spark, sf_dir):
     )
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
-    n = F.broadcast(t(spark, sf_dir, "nation"))
-    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    l_pruned = l.join(asia_supp, l.l_suppkey == F.col("s_suppkey"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
+        l_pruned.join(o, l_pruned.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(REV_SUM().alias("revenue"))
     )
@@ -933,41 +945,41 @@ def tpch_q20(spark, sf_dir):
 def tpch_q21(spark, sf_dir):
     """Q21 adapted ("kept orders waiting": no receipt/commit dates →
     late = shipped ≥60 days after order date, on finalized orders).
-    Keeps Q21's signature EXISTS / NOT-EXISTS pair as a left_semi
-    then left_anti with compound non-equal-supplier conditions — the
-    exact decorrelation Catalyst applies to the original. The
-    semi/anti probes join on orderkey only plus a residual suppkey
-    inequality, so both are plain equi shuffles; supplier dim
-    broadcasts into the final count."""
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+
+    Round-4 shape: the EXISTS / NOT-EXISTS pair is folded into ONE
+    per-order aggregation chain instead of semi/anti self-joins. After
+    the single li⨝orders(F) equi join, everything reuses the orderkey
+    partitioning with zero extra exchanges: pair-level max(is_late),
+    then order-level (n_supp, n_late, the unique late supplier via
+    max(when(late, suppkey))); blamed = n_late = 1 AND n_supp > 1 —
+    exactly "some other supplier exists, no other supplier was late".
+    The former semi/anti version paid two more 60M-pair distinct
+    shuffles and two probe joins: measured 15.6 s → 5.8 s at sf10
+    (≈1.9× the DuckDB proxy). Supplier broadcasts into the final
+    count. 3 exchanges total: lineitem, orders, final name agg."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
     )
-    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    la = late.select(
-        F.col("l_orderkey").alias("b_orderkey"), F.col("l_suppkey").alias("b_suppkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
     )
-    blamed = (
-        la.join(
-            all_pairs,
-            (F.col("b_orderkey") == F.col("l_orderkey"))
-            & (F.col("b_suppkey") != F.col("l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            late,
-            (F.col("b_orderkey") == F.col("l_orderkey"))
-            & (F.col("b_suppkey") != F.col("l_suppkey")),
-            "left_anti",
-        )
+    pairs = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
     )
+    stats = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("supp_late").cast("int")).alias("n_late"),
+        F.max(F.when(F.col("supp_late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = stats.filter((F.col("n_late") == 1) & (F.col("n_supp") > 1))
     s = F.broadcast(t(spark, sf_dir, "supplier"))
     return (
-        blamed.join(s, F.col("b_suppkey") == F.col("s_suppkey"))
+        blamed.join(s, F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
