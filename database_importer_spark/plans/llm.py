@@ -680,11 +680,23 @@ def llm_text_langid(spark, sf_dir):
 def llm_fingerprint(spark, sf_dir):
     """Order-sensitive positional document fingerprint (Σ(ascii+1)·i
     mod p) as one higher-order-function fold — content-equal docs
-    collide, any reordering separates."""
+    collide, any reordering separates.
+
+    Collapse-duplicates-first (round 4): the fold is a pure function
+    of the text, so it runs once per DISTINCT text — the groupBy
+    carries each text once plus its doc_id list, the fingerprint
+    computes per distinct, and the id array explodes back out (an
+    attribute explode, not a lambda-HOF — the r3 gotcha doesn't
+    apply). On the ×100-replicated sf10 corpus: 30.3 s → 1.8 s, now
+    4× FASTER than the DuckDB per-row twin; non-replicated corpora
+    pay one text exchange (+0.15 s at sf0.1). Same law as the dedup
+    family: per-content work must scale with distinct content."""
     d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", X.positional_fingerprint("text").alias("fingerprint")
+    per_text = d.groupBy("text").agg(F.collect_list("doc_id").alias("__ids"))
+    fp = per_text.select(
+        X.positional_fingerprint("text").alias("fingerprint"), "__ids"
     )
+    return fp.select(F.explode("__ids").alias("doc_id"), "fingerprint")
 
 
 # --- multimodal columns --------------------------------------------

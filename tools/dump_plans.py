@@ -25,7 +25,7 @@ ANNOTATED = {
     "agg_hash_groupby": "TPC-H Q1: partial HashAggregate before the exchange (shuffle carries group partials, not rows).",
     "limit_topk_global": "Global top-k: TakeOrderedAndProject — per-task heaps, no global sort.",
     "llm_dedup_exact": "Dedup: aggregation on sha2 digest — the text payload never crosses the exchange.",
-    "tpch_q5_local_supplier_volume": "Six-way join: facts shuffle on their natural keys, nation/region broadcast.",
+    "tpch_q5_local_supplier_volume": "Six-way join, selective-dim-first (r4): the ASIA supplier dim broadcasts and prunes lineitem BEFORE the orderkey exchange; nationkey residual is a post-join filter.",
     "tpch_q7_volume_shipping": "Dual nation aliases both broadcast; the disjunctive nation-pair predicate is a residual Filter, never a cartesian.",
     "join_skew_salted": "Salted skew join: join key includes __dbis_salt (hot keys spread over 16 tasks); merge hint keeps the shuffle path where salting matters.",
     "llm_cap_per_source": "Per-source cap: Window partitioned by source — no SinglePartition exchange anywhere.",
@@ -34,12 +34,16 @@ ANNOTATED = {
     "llm_tfidf_cosine_pairs": "Sparse all-pairs cosine: documents meet ONLY through the term posting join (equi, df-pruned); dots/norms are exact integer partial aggregates; the sole nested-loop is the 1-row corpus-count broadcast.",
     "llm_similarity_ivf": "IVF ANN: centroid fan-out is a 16-row broadcast; assignment is a partial-agg argmax (no window over the corpus); candidates join equi on list id.",
     "llm_dedup_simhash": "SimHash band blocking: candidates from a (band, value) equi self-join — pigeonhole-complete at Hamming <= 3, no cross join.",
-    "tpch_q21_waiting_suppliers": "EXISTS/NOT-EXISTS pair as left_semi + left_anti with residual suppkey inequality — both plain equi shuffles on orderkey.",
-    "cdc_apply_changelog": "CDC compaction: partial max(struct(seq, op, price)) collapses versions map-side; one hash exchange on the key, no window over the change stream.",
+    "tpch_q21_waiting_suppliers": "EXISTS/NOT-EXISTS folded into one per-order aggregation chain (r4): pair-level max(is_late), order-level (n_supp, n_late, unique late supplier) — all reusing the join's orderkey partitioning, zero extra exchanges.",
+    "cdc_apply_changelog": "CDC compaction: ONE scan emits per-row I/U/D version arrays (r4); partial max(struct(seq, op, price)) collapses versions map-side; one hash exchange on the key, no window.",
     "layout_zorder_cluster": "Z-order layout: the Morton key is pure integer codegen in the scan's Project; one partial+final aggregate produces the per-file skipping stats.",
     "llm_pack_greedy": "Token chunking: the bucket hash partition feeds BOTH the running-sum window and the audit aggregate — one exchange end to end.",
     "ts_sessionize_batch": "Sessionization: lag + running sum + session aggregate all share the user_id partition — one exchange, per-user local sorts, no global sort.",
     "sample_stratified_hash": "Stratified sample: the keep-predicate is stateless per-row codegen over the scan; the audit aggregate is the only exchange.",
+    "join_bucketed_colocated": "Bucketed layout (r4): catalog bucketing satisfies the SMJ distribution — ZERO exchange under the join; the groupBy agg is the only shuffle in the plan.",
+    "agg_hash_groupby_double": "Q1 on the native-double path (r4): floor-quantized integer cents, plain partial+final hash agg, no Expand, no decimal accumulators.",
+    "agg_count_distinct": "Exact distinct WITHOUT Expand (r4): manual two-level pre-aggregate on (group, key) then count — no row duplication before the shuffle.",
+    "llm_text_tokenize_tf": "Term frequencies collapse duplicate texts FIRST (r4): the exchange carries each distinct text once; explode volume scales with distinct content.",
 }
 
 
