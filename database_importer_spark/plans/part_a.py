@@ -320,9 +320,22 @@ _UPSERT_ORACLE = f"""
 def upsert_merge_full(spark, sf_dir):
     """Full MERGE: update matched + insert unmatched under one staged
     scan — the reference's intended end-state ``run(update=True,
-    insert=True)`` (importer.py:293-307)."""
+    insert=True)`` (importer.py:293-307).
+
+    The update source is lazily checkpointed (round 4): the merge
+    references it from four plan arms (broadcast build, semi probe,
+    anti probe, insert projection), and without the checkpoint
+    Catalyst inlines the whole source subplan — including its max-key
+    aggregate — into every arm (11 scans of the source table at sf10;
+    measured 4.5 s → 3.7 s from computing it once). This is exactly
+    the reference's staging-table step (importer.py:268-291):
+    materialize the update batch once, then merge against it."""
     target = t(spark, sf_dir, "orders")
-    src = _updates_df(spark, sf_dir).unionByName(_insert_source_df(spark, sf_dir))
+    src = (
+        _updates_df(spark, sf_dir)
+        .unionByName(_insert_source_df(spark, sf_dir))
+        .localCheckpoint(eager=False)
+    )
     m = Merger(target, src, join_on=["o_orderkey"])
     return m.merged(update=True, insert=True)
 
