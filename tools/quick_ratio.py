@@ -1,7 +1,9 @@
 """Quick spark-vs-duckdb ratio probe for a few declared queries.
 
 Usage: PYTHONPATH=/root/repo python tools/quick_ratio.py <sf_dir> key [key...]
-Same min-of-5 protocol as bench.py / BASELINE.md.
+Same min-of-5 + DuckDB-CTAS protocol as tools/bench_baseline.py
+(CTAS, not fetchall: a fetch would bill DuckDB for Python-object
+conversion on large outputs while Spark's noop sink pays none).
 """
 
 import sys
@@ -47,9 +49,11 @@ def main():
         if q.oracle:
             ds = []
             for _ in range(5):
+                con.execute("DROP TABLE IF EXISTS __qr_out")
                 t0 = time.perf_counter()
-                con.execute(q.oracle).fetchall()
+                con.execute(f"CREATE TEMP TABLE __qr_out AS ({q.oracle})")
                 ds.append(time.perf_counter() - t0)
+            con.execute("DROP TABLE IF EXISTS __qr_out")
             d = min(ds)
             print(f"{key:30s} spark {s:7.3f}s  duckdb {d:7.3f}s  ratio {s / d:6.2f}x")
         else:
