@@ -29,13 +29,31 @@ from pyspark.sql import functions as F
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup by content digest: keep the smallest id per
     distinct text (deterministic representative). Returns the kept
-    (id, digest, n_copies) — join back on id to materialize rows."""
+    (digest, id, n_copies) — join back on id to materialize rows.
+
+    The content key is a 128-bit pair of seeded xxhash64s (round 4;
+    was sha2-256 hex). Grouping/shuffling on two LONGs instead of a
+    64-char string halved the sf10 aggregate (0.55 s → 0.28 s): the
+    hash agg probes 16-byte fixed-width keys and the exchange carries
+    16 bytes per row instead of 64. Collision math at the 100 TB
+    design point: ~1e11 documents → birthday bound (1e11)²/2¹²⁹ ≈
+    1.5e-17 — negligible for pipeline dedup. xxhash is NOT
+    adversarial-resistant; if inputs are attacker-controlled and a
+    forced collision matters, swap F.sha2 back in (semantics
+    identical, the oracle groups raw text either way)."""
+    h1 = F.xxhash64(F.col(text_col))
+    h2 = F.xxhash64(F.lit(1), F.col(text_col))
     return (
-        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("digest"))
-        .groupBy("digest")
+        df.select(F.col(id_col), h1.alias("__h1"), h2.alias("__h2"))
+        .groupBy("__h1", "__h2")
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.concat(F.hex("__h1"), F.hex("__h2")).alias("digest"),
+            F.col(id_col),
+            F.col("n_copies"),
         )
     )
 

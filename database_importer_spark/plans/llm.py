@@ -37,10 +37,12 @@ from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
     """,
 )
 def llm_dedup_exact(spark, sf_dir):
-    """Exact dedup by sha2(text) hash-groupBy over a corpus with
+    """Exact dedup by content-digest hash-groupBy over a corpus with
     planted duplicates (every 20th doc repeated). Only (digest, id)
-    shuffles — at 100 TB the text payload never moves. Oracle groups
-    by text itself (equivalent absent collisions)."""
+    shuffles — at 100 TB the text payload never moves. The digest is
+    a 128-bit xxhash64 pair since round 4 (see operators/dedup.
+    exact_dedup: 2× the sf10 aggregate vs the sha2-hex key). Oracle
+    groups by text itself (equivalent absent collisions)."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
@@ -1258,13 +1260,16 @@ def llm_pipeline_end2end(spark, sf_dir):
     even if copies ever disagreed on metadata."""
     d = t(spark, sf_dir, "documents")
     deduped = (
-        d.groupBy(F.sha2(F.col("text"), 256).alias("__digest"))
+        d.groupBy(
+            F.xxhash64(F.col("text")).alias("__h1"),
+            F.xxhash64(F.lit(1), F.col("text")).alias("__h2"),
+        )
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.min_by("lang", "doc_id").alias("lang"),
             F.min_by("n_chars", "doc_id").alias("n_chars"),
         )
-        .drop("__digest")
+        .drop("__h1", "__h2")
     )
     filtered = deduped.filter(F.col("n_chars").between(50, 10000))
     part = F.when(
