@@ -937,7 +937,11 @@ def llm_contamination_check(spark, sf_dir):
                 "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"
             ).alias("shingle_h"),
         )
-        .distinct()  # per-text distinct, matching the oracle's list_distinct
+        .distinct()  # per-text distinct on the hashed shingle (= oracle)
+        # referenced twice below (train_sh build + hits probe):
+        # checkpoint so the shingling computes once, not per arm
+        # (4.8 s → 3.4 s at sf10)
+        .localCheckpoint(eager=False)
     )
     train_sh = (
         tsh.join(train_min, "text")
