@@ -65,6 +65,60 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def ensure_bucketed_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    source: str,
+    df: DataFrame,
+    keys: list[str],
+    buckets: int = 32,
+) -> str:
+    """Build (at most once per session) a persistent bucketed copy of
+    ``df`` — the projected/derived image of ``{sf_dir}/{source}.parquet``
+    — bucketed AND sorted on ``keys``, and return its catalog table
+    name. The name encodes (sf_dir, source-file fingerprint, column
+    set, keys, bucket count), so a layout widened with more columns or
+    re-bucketed differently is a NEW table: a stale narrower layout
+    from an earlier session can never be silently reused. A leftover
+    warehouse directory whose catalog entry the in-memory catalog has
+    forgotten is cleared before the rebuild (cheaper than re-validating
+    a possibly half-written layout).
+
+    This is the co-locate-once-join-many persistent layout of the
+    100 TB design (the layout cost amortizes over every downstream
+    join on ``keys``); queries over the table still get parquet column
+    pruning, so several queries can SHARE one wide layout and each
+    read only its columns. ``repartition(buckets, keys)`` before the
+    bucketed write: repartition's murmur hash == bucketBy's, giving
+    one file per bucket so the sorted-bucket metadata stays usable."""
+    import hashlib
+    import os
+    import shutil
+
+    p = os.path.join(sf_dir, f"{source}.parquet")
+    st = os.stat(p)
+    fp = f"{st.st_size}_{st.st_mtime_ns // 1000000}"
+    shape = ",".join(df.columns) + "|" + ",".join(keys) + f"|{buckets}"
+    shape_tag = hashlib.md5(shape.encode()).hexdigest()[:8]
+    dir_tag = "".join(
+        c if c.isalnum() else "_" for c in os.path.normpath(sf_dir)
+    ).lower()
+    table = f"dbis_bkt_{source}_{dir_tag}_{fp}_{shape_tag}"
+    if spark.catalog.tableExists(table):
+        return table
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, table)
+    if os.path.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    write_bucketed(
+        df.repartition(buckets, *[F.col(k) for k in keys]),
+        table,
+        keys,
+        buckets=buckets,
+    )
+    return table
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: list[str], how="inner"
 ) -> DataFrame:

@@ -12,6 +12,48 @@ from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 
 
 @declare(
+    "agg_events_value_rollup",
+    oracle="""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
+               AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    """,
+)
+def agg_events_value_rollup(spark, sf_dir):
+    """Per-(event_type, day) rollup of the metric stream — the
+    telemetry-cube shape (round 4's last dec4 application: the events
+    `value` column is an exact-2dp metric, so the sum accumulates as
+    quantized LONGs at native speed, bit-identical to the
+    DECIMAL(25,4) oracle; see registry.dec4_sum APPLICABILITY).
+    avg = exact-sum double / exact count: one IEEE division per
+    OUTPUT group, deterministic on both engines given identical
+    inputs — never AVG() over doubles, whose accumulation order
+    differs per engine/partitioning. min/max are order-independent
+    by nature. Day keys leave as ISO strings (SURVEY §7.4).
+
+    Scale: one map-side partial + one exchange on (type, day) —
+    cube cardinality (|types|×|days|), not event count; the 100 TB
+    shape for any metrics rollup."""
+    ev = t(spark, sf_dir, "events")
+    cnt = F.count(F.lit(1))
+    return ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        cnt.alias("n_events"),
+        dec4_sum(F.col("value")).alias("sum_value"),
+        (dec4_sum(F.col("value")) / cnt).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@declare(
     "win_first_last_nth",
     oracle="""
     SELECT event_id, user_id,

@@ -18,6 +18,41 @@ from pyspark.sql import functions as F
 from database_importer_spark.operators.asof import asof_join
 from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 
+def orderkey_bucketed_facts(spark, sf_dir, buckets: int = 32):
+    """The shared persistent orderkey-bucketed layout of the two fact
+    tables (lineitem, orders): built at most once per (sf_dir, source
+    fingerprint, column set) via ensure_bucketed_layout, carrying the
+    UNION of the columns every orderkey-join query in the workload
+    needs — `join_bucketed_colocated` reads 3 of them, the full
+    `tpch_q3_bucketed` reads 4+3; parquet column pruning keeps each
+    query's scan narrow. Returns (lineitem_table, orders_table)."""
+    from database_importer_spark.operators.partitioning import (
+        ensure_bucketed_layout,
+    )
+
+    lt = ensure_bucketed_layout(
+        spark,
+        sf_dir,
+        "lineitem",
+        t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+        ),
+        ["l_orderkey"],
+        buckets=buckets,
+    )
+    ot = ensure_bucketed_layout(
+        spark,
+        sf_dir,
+        "orders",
+        t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_custkey", "o_orderdate"
+        ),
+        ["o_orderkey"],
+        buckets=buckets,
+    )
+    return lt, ot
+
+
 # --- B.1 scans / sinks ---------------------------------------------
 
 
@@ -248,57 +283,15 @@ def join_bucketed_colocated(spark, sf_dir):
     the reference's server-side staging (importer.py:268-291). At
     100 TB the recurring join reads both tables in place with no
     network movement at all; layout cost amortizes over every
-    downstream orderkey join."""
-    import shutil
+    downstream orderkey join.
 
-    from database_importer_spark.operators.partitioning import write_bucketed
-
-    def ensure_layout(table, build):
-        """Build the bucketed table once per session; a leftover
-        warehouse directory from a previous session (the in-memory
-        catalog forgets, the filesystem doesn't) is cleared first —
-        cheaper than re-validating a half-written layout."""
-        if spark.catalog.tableExists(table):
-            return
-        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        loc = os.path.join(wh, table)
-        if os.path.exists(loc):
-            shutil.rmtree(loc, ignore_errors=True)
-        build()
-
-    def fingerprint(name):
-        p = os.path.join(sf_dir, f"{name}.parquet")
-        st = os.stat(p)
-        return f"{st.st_size}_{st.st_mtime_ns // 1000000}"
-
-    n_buckets = 32
-    tag = "".join(c if c.isalnum() else "_" for c in os.path.normpath(sf_dir)).lower()
-    lt = f"dbis_bkt_lineitem_{tag}_{fingerprint('lineitem')}"
-    ot = f"dbis_bkt_orders_{tag}_{fingerprint('orders')}"
-    # repartition to one file per bucket (repartition's murmur hash
-    # == bucketBy's) so the sorted-bucket metadata stays usable
-    ensure_layout(
-        lt,
-        lambda: write_bucketed(
-            t(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_extendedprice", "l_discount")
-            .repartition(n_buckets, F.col("l_orderkey")),
-            lt,
-            ["l_orderkey"],
-            buckets=n_buckets,
-        ),
-    )
-    ensure_layout(
-        ot,
-        lambda: write_bucketed(
-            t(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_orderpriority")
-            .repartition(n_buckets, F.col("o_orderkey")),
-            ot,
-            ["o_orderkey"],
-            buckets=n_buckets,
-        ),
-    )
+    The layout is SHARED: one wide bucketed copy of each fact
+    (operators/partitioning.ensure_bucketed_layout) serves this
+    rollup and the full `tpch_q3_bucketed` twin — parquet column
+    pruning means each query still reads only its columns, which is
+    exactly how a production bucketed table amortizes: one layout,
+    every orderkey join in the workload."""
+    lt, ot = orderkey_bucketed_facts(spark, sf_dir)
     jl, jo = spark.table(lt), spark.table(ot)
     # MERGE hint: at test sf the orders side is broadcast-sized and the
     # planner would happily broadcast it — but the query exists to pin

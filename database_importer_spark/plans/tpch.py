@@ -71,6 +71,67 @@ def tpch_q3(spark, sf_dir):
 
 
 @declare(
+    "tpch_q3_bucketed",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-03-15'
+      AND l.l_shipdate > TIMESTAMP '1999-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_bucketed(spark, sf_dir):
+    """Q3 over the persistent orderkey-bucketed fact layout — the
+    full-query demonstration that the `tpch_q3` shuffle tax is a
+    LAYOUT property, not a plan defect. Same oracle as
+    `tpch_q3_shipping_priority`; the plan has ZERO wide exchange:
+
+      * customer (filtered to one segment) broadcasts — a broadcast
+        join preserves the stream side's bucketed distribution;
+      * orders⨝lineitem sort-merges bucket-to-bucket, no exchange and
+        no sort (layout is bucketed AND sorted on orderkey, shared
+        with `join_bucketed_colocated` via orderkey_bucketed_facts);
+      * the groupBy keys (l_orderkey, o_orderdate) contain the bucket
+        key, so HashPartitioning(orderkey) satisfies the aggregate's
+        ClusteredDistribution — partial≡final, still no exchange;
+      * the global top-10 is TakeOrderedAndProject (driver merges 32
+        sorted 10-row partial results).
+
+    Date/segment filters still push into the bucketed parquet scans.
+    At 100 TB this is the difference between re-shuffling ~TBs per
+    run and reading both facts in place; plan-pinned by
+    tests/test_plans.py (no Exchange node at all)."""
+    from database_importer_spark.plans.relational import (
+        orderkey_bucketed_facts,
+    )
+
+    lt, ot = orderkey_bucketed_facts(spark, sf_dir)
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = spark.table(ot).filter(
+        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp")
+    )
+    l = spark.table(lt).filter(
+        F.col("l_shipdate") > F.lit("1999-03-15").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .hint("merge")
+        .join(l.hint("merge"), l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(REV_SUM().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@declare(
     "tpch_q4_order_priority",
     oracle="""
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count

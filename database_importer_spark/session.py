@@ -72,6 +72,15 @@ def get_spark(
         # pandas-UDF queries at sf10 (fewer per-batch round trips);
         # 64k rows x a few cols stays ~1-2 MB per batch per core
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # report sorted-bucket output ORDERING from bucketed scans so
+        # a co-bucketed sort-merge join plans with neither exchange
+        # NOR per-task sort. Spark gated this behind a legacy flag
+        # because a bucket split across several files concatenates
+        # unsorted; every bucketed layout this engine writes goes
+        # through operators/partitioning.write_bucketed after a
+        # repartition on the bucket key (one file per bucket,
+        # asserted in tests), so the reported ordering is truthful.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # stable timestamp semantics when writing/reading parquet
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # parquet TIMESTAMP(NANOS) columns surface as long (ns since

@@ -108,6 +108,51 @@ def test_bucketed_join_eliminates_fact_shuffle(spark):
     assert "Exchange" not in join_part
 
 
+def test_bucketed_q3_zero_wide_exchange_zero_sort(spark):
+    """tpch_q3_bucketed: the ONLY exchange in the whole plan is the
+    broadcast of the filtered customer dim. The fact⨝fact SMJ rides
+    the bucketing (no hash exchange), the sorted-bucket metadata
+    feeds the merge (no per-task Sort — the legacy outputOrdering
+    flag in session.py, truthful because the layout writer guarantees
+    one file per bucket), the groupBy keys contain the bucket key so
+    the aggregate needs no exchange either, and the global top-10 is
+    TakeOrderedAndProject. End-to-end: zero wide shuffle."""
+    plan = explain(spark, "tpch_q3_bucketed")
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    assert "TakeOrderedAndProject" in tree
+    assert "Exchange hashpartitioning" not in plan
+    assert "Sort [" not in tree  # sorted buckets make the merge sort-free
+    # both fact scans actually use the bucketed layout
+    assert plan.count("Bucketed: true") == 2
+
+
+def test_bucketed_layout_one_file_per_bucket(spark):
+    """The truthfulness precondition of the reported bucket ordering
+    (session.py legacy flag): every bucketed layout this engine
+    writes has EXACTLY one data file per bucket — a bucket split
+    across files would concatenate unsorted and silently corrupt the
+    sort-free merge join."""
+    import glob
+    import os
+
+    from database_importer_spark.plans.relational import (
+        orderkey_bucketed_facts,
+    )
+
+    for table in orderkey_bucketed_facts(spark, SF):
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .filter("col_name = 'Location'")
+            .collect()[0][1]
+        ).removeprefix("file:")
+        files = glob.glob(os.path.join(loc, "part-*"))
+        assert len(files) == 32, (table, len(files))
+        # bucket ids 0..31 each appear exactly once in the filenames
+        buckets = sorted(int(os.path.basename(f).split("_")[1][:5]) for f in files)
+        assert buckets == list(range(32)), table
+
+
 def test_theta_range_join_stays_hash(spark):
     """Equi conjunct drives the join; range conjuncts are residual
     filters — never a nested-loop/cartesian plan."""
