@@ -33,6 +33,7 @@ from database_importer_spark.plans import REGISTRY  # noqa: E402
 HEADLINE = [
     "upsert_merge_full",
     "tpch_q3_shipping_priority",
+    "tpch_q3_bucketed",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "join_shuffle_sortmerge",

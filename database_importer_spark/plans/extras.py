@@ -39,17 +39,29 @@ def agg_events_value_rollup(spark, sf_dir):
 
     Scale: one map-side partial + one exchange on (type, day) —
     cube cardinality (|types|×|days|), not event count; the 100 TB
-    shape for any metrics rollup."""
+    shape for any metrics rollup. The group key is date_trunc (pure
+    long arithmetic on the µs tick); the ISO STRING renders after
+    aggregation — one format call per OUTPUT group, not per event."""
     ev = t(spark, sf_dir, "events")
     cnt = F.count(F.lit(1))
-    return ev.groupBy(
-        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(
-        cnt.alias("n_events"),
-        dec4_sum(F.col("value")).alias("sum_value"),
-        (dec4_sum(F.col("value")) / cnt).alias("avg_value"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
+    return (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("__day"))
+        .agg(
+            cnt.alias("n_events"),
+            dec4_sum(F.col("value")).alias("sum_value"),
+            (dec4_sum(F.col("value")) / cnt).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("__day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "sum_value",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
     )
 
 
