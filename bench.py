@@ -35,6 +35,7 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q3_bucketed",
     "tpch_q5_local_supplier_volume",
+    "tpch_q5_bucketed",
     "tpch_q6_forecast_revenue",
     "join_shuffle_sortmerge",
     "join_bucketed_colocated",

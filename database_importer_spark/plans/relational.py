@@ -23,9 +23,10 @@ def orderkey_bucketed_facts(spark, sf_dir, buckets: int = 32):
     tables (lineitem, orders): built at most once per (sf_dir, source
     fingerprint, column set) via ensure_bucketed_layout, carrying the
     UNION of the columns every orderkey-join query in the workload
-    needs — `join_bucketed_colocated` reads 3 of them, the full
-    `tpch_q3_bucketed` reads 4+3; parquet column pruning keeps each
-    query's scan narrow. Returns (lineitem_table, orders_table)."""
+    needs — `join_bucketed_colocated` reads 3 of them,
+    `tpch_q3_bucketed` 4+3, `tpch_q5_bucketed` 4+3; parquet column
+    pruning keeps each query's scan narrow. Returns
+    (lineitem_table, orders_table)."""
     from database_importer_spark.operators.partitioning import (
         ensure_bucketed_layout,
     )
@@ -35,7 +36,8 @@ def orderkey_bucketed_facts(spark, sf_dir, buckets: int = 32):
         sf_dir,
         "lineitem",
         t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+            "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate",
+            "l_suppkey",
         ),
         ["l_orderkey"],
         buckets=buckets,

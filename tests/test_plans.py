@@ -108,6 +108,14 @@ def test_bucketed_join_eliminates_fact_shuffle(spark):
     assert "Exchange" not in join_part
 
 
+def physical(spark, key: str) -> str:
+    """Simple-mode executed-plan string (node args inline — formatted
+    mode splits 'Exchange hashpartitioning' across tree and detail
+    sections, making substring assertions on it vacuous)."""
+    df = REGISTRY[key].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_bucketed_q3_zero_wide_exchange_zero_sort(spark):
     """tpch_q3_bucketed: the ONLY exchange in the whole plan is the
     broadcast of the filtered customer dim. The fact⨝fact SMJ rides
@@ -117,13 +125,25 @@ def test_bucketed_q3_zero_wide_exchange_zero_sort(spark):
     one file per bucket), the groupBy keys contain the bucket key so
     the aggregate needs no exchange either, and the global top-10 is
     TakeOrderedAndProject. End-to-end: zero wide shuffle."""
-    plan = explain(spark, "tpch_q3_bucketed")
-    tree = plan.split("\n\n")[0]
-    assert "SortMergeJoin" in tree
-    assert "TakeOrderedAndProject" in tree
+    plan = physical(spark, "tpch_q3_bucketed")
+    assert "SortMergeJoin" in plan
+    assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
-    assert "Sort [" not in tree  # sorted buckets make the merge sort-free
+    assert "Sort [" not in plan  # sorted buckets make the merge sort-free
     # both fact scans actually use the bucketed layout
+    assert plan.count("Bucketed: true") == 2
+
+
+def test_bucketed_q5_single_tiny_exchange_zero_sort(spark):
+    """tpch_q5_bucketed: selective-dim-first pruning + bucketed facts
+    leave exactly ONE hash exchange in the whole six-way join — the
+    5-row n_name aggregate. The orderkey SMJ merges bucket-to-bucket
+    sort-free; every dim (ASIA suppliers, 2-column customer) is a
+    broadcast."""
+    plan = physical(spark, "tpch_q5_bucketed")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Sort [" not in plan
     assert plan.count("Bucketed: true") == 2
 
 
