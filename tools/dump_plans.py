@@ -40,7 +40,9 @@ ANNOTATED = {
     "llm_pack_greedy": "Token chunking: the bucket hash partition feeds BOTH the running-sum window and the audit aggregate — one exchange end to end.",
     "ts_sessionize_batch": "Sessionization: lag + running sum + session aggregate all share the user_id partition — one exchange, per-user local sorts, no global sort.",
     "sample_stratified_hash": "Stratified sample: the keep-predicate is stateless per-row codegen over the scan; the audit aggregate is the only exchange.",
-    "join_bucketed_colocated": "Bucketed layout (r4): catalog bucketing satisfies the SMJ distribution — ZERO exchange under the join; the groupBy agg is the only shuffle in the plan.",
+    "join_bucketed_colocated": "Bucketed layout (r4): catalog bucketing satisfies the SMJ distribution — ZERO exchange under the join; the groupBy agg is the only shuffle in the plan. Late r4: sorted-bucket ordering reported (one file per bucket, test-pinned) so the merge is also sort-free.",
+    "tpch_q3_bucketed": "Full Q3 over the shared orderkey-bucketed layout (late r4): broadcast dim preserves the bucketed distribution, the fact SMJ merges bucket-to-bucket sort-free, the groupBy keys contain the bucket key (no agg exchange), top-10 is TakeOrderedAndProject — ZERO wide exchange end-to-end.",
+    "tpch_q5_bucketed": "Q5 over the same layout (late r4): selective-dim-first pruning + bucket-riding SMJ + 2-column customer broadcast leave exactly ONE hash exchange — the 5-row n_name aggregate.",
     "agg_hash_groupby_double": "Q1 on the native-double path (r4): floor-quantized integer cents, plain partial+final hash agg, no Expand, no decimal accumulators.",
     "agg_count_distinct": "Exact distinct WITHOUT Expand (r4): manual two-level pre-aggregate on (group, key) then count — no row duplication before the shuffle.",
     "llm_text_tokenize_tf": "Term frequencies collapse duplicate texts FIRST (r4): the exchange carries each distinct text once; explode volume scales with distinct content.",
