@@ -58,8 +58,21 @@ def write_bucketed(
 ) -> None:
     """Persist a table pre-hash-partitioned (and sorted) on its join
     keys. Two tables bucketed the same way join with NO exchange and
-    (if sorted) no sort — scan → zip partitions → merge."""
-    w = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    (if sorted) no sort — scan → zip partitions → merge.
+
+    ALWAYS repartitions on the bucket keys first (repartition's
+    murmur hash == bucketBy's), so each bucket lands in exactly one
+    task → exactly ONE file per bucket. This is a correctness
+    invariant, not an optimization: session.py turns on the legacy
+    `bucketedTableScan.outputOrdering` flag globally, under which a
+    sorted-bucket scan REPORTS its sort order and downstream
+    sort-merge joins skip their own Sort — truthful only while no
+    bucket is split across files (a multi-file bucket concatenates
+    unsorted and would silently mis-merge). Writing through this
+    function is what keeps the flag safe; test-pinned in
+    tests/test_plans.test_bucketed_layout_one_file_per_bucket."""
+    src = df.repartition(buckets, *[F.col(k) for k in keys])
+    w = src.write.mode("overwrite").bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(table)
@@ -88,9 +101,9 @@ def ensure_bucketed_layout(
     100 TB design (the layout cost amortizes over every downstream
     join on ``keys``); queries over the table still get parquet column
     pruning, so several queries can SHARE one wide layout and each
-    read only its columns. ``repartition(buckets, keys)`` before the
-    bucketed write: repartition's murmur hash == bucketBy's, giving
-    one file per bucket so the sorted-bucket metadata stays usable."""
+    read only its columns. write_bucketed itself enforces the
+    one-file-per-bucket invariant the session's sorted-bucket
+    ordering flag depends on."""
     import hashlib
     import os
     import shutil
@@ -110,12 +123,7 @@ def ensure_bucketed_layout(
     loc = os.path.join(wh, table)
     if os.path.exists(loc):
         shutil.rmtree(loc, ignore_errors=True)
-    write_bucketed(
-        df.repartition(buckets, *[F.col(k) for k in keys]),
-        table,
-        keys,
-        buckets=buckets,
-    )
+    write_bucketed(df, table, keys, buckets=buckets)
     return table
 
 
