@@ -340,6 +340,56 @@ def upsert_merge_full(spark, sf_dir):
     return m.merged(update=True, insert=True)
 
 
+@declare("upsert_merge_bucketed", oracle=_UPSERT_ORACLE)
+def upsert_merge_bucketed(spark, sf_dir):
+    """The same full MERGE executed against the persistent
+    orderkey-bucketed layout — the engine-native equivalent of a
+    lakehouse ``MERGE INTO`` on a co-partitioned table (the container
+    ships no Delta/Iceberg jars; the layout + Merger(broadcast=False)
+    IS that code path). Same oracle as `upsert_merge_full`.
+
+    Why this is the 100 TB merge shape: the broadcast variant collects
+    the update batch to the driver and ships it to every executor —
+    right for dim-sized batches, wrong once the batch is a few percent
+    of a 100 TB target (here it is 11% of rows). Against the bucketed
+    layout the plan inverts: the TARGET side of every arm (update left
+    join, matched-key semi, anti probe) scans in place with no
+    exchange and no sort (bucketed + truthful sorted-bucket metadata);
+    only the ~|batch| update source shuffles, once, to align with the
+    layout's partitioning. Nothing crosses the driver; no hash
+    relation is built. Update-batch size stops mattering entirely —
+    a 10 TB batch merges with the same plan."""
+    from database_importer_spark.plans.relational import (
+        orderkey_bucketed_facts,
+    )
+
+    _, ot = orderkey_bucketed_facts(spark, sf_dir)
+    o = spark.table(ot)
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    mx = o.agg((F.max("o_orderkey") + F.lit(1)).alias("__key_base"))
+    ins = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("__key_base")).alias("o_orderkey"),
+            (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+            F.lit("N").alias("o_orderstatus"),
+        )
+    )
+    # MERGE hint: at test sf the batch is broadcast-sized and the
+    # planner would happily broadcast it, silently reverting to the
+    # other variant's plan (and disabling the bucketed scan it makes
+    # unnecessary). The query exists to pin the layout-merge shape —
+    # batch-size-independent — so force the sort-merge path.
+    src = upd.unionByName(ins).localCheckpoint(eager=False).hint("merge")
+    m = Merger(o, src, join_on=["o_orderkey"], broadcast=False)
+    return m.merged(update=True, insert=True)
+
+
 @declare("sink_jdbc_live_merge", oracle=_UPSERT_ORACLE)
 def sink_jdbc_live_merge(spark, sf_dir):
     """The LIVE JDBC data plane (reference importer.py:253-309),

@@ -46,8 +46,16 @@ def orderkey_bucketed_facts(spark, sf_dir, buckets: int = 32):
         spark,
         sf_dir,
         "orders",
+        # the FULL orders schema: upsert_merge_bucketed merges onto
+        # this layout and returns every target column; the rollup/Q3/
+        # Q5 consumers still read only their 2-3 columns via pruning
         t(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderpriority", "o_custkey", "o_orderdate"
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
         ),
         ["o_orderkey"],
         buckets=buckets,

@@ -147,6 +147,24 @@ def test_bucketed_q5_single_tiny_exchange_zero_sort(spark):
     assert plan.count("Bucketed: true") == 2
 
 
+def test_bucketed_merge_target_never_shuffles(spark):
+    """upsert_merge_bucketed: the lakehouse-MERGE shape — both arms'
+    TARGET side (update left-outer, insert anti) scans the bucketed
+    layout with no exchange and no sort; only the update batch
+    shuffles (once per arm, ~|batch| rows) and sorts. No broadcast,
+    no driver-side hash relation: batch size stops mattering."""
+    plan = physical(spark, "upsert_merge_bucketed")
+    assert plan.count("SortMergeJoin") == 2  # LeftOuter + LeftAnti
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Bucketed: true") == 2  # target scan per arm
+    # exchanges and sorts exist ONLY on the batch side: each must sit
+    # strictly below a bucketed-scan-free subtree — cheap proxy: the
+    # count equals the arm count, never more (a shuffled target would
+    # add a third/fourth)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Sort [") == 2
+
+
 def test_bucketed_layout_one_file_per_bucket(spark):
     """The truthfulness precondition of the reported bucket ordering
     (session.py legacy flag): every bucketed layout this engine
