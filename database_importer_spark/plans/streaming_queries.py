@@ -51,14 +51,23 @@ def stream_sliding_window(spark, sf_dir):
     "stream_session_window",
     oracle="""
     WITH g AS (
-        SELECT user_id, ts, value,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
                          <= INTERVAL '30 minutes'
                     THEN 0 ELSE 1 END AS new_session
         FROM events
     ), s AS (
+        -- (ts, event_id) total order in BOTH windows: with duplicate
+        -- timestamps (the replicated scale corpora), two independent
+        -- ORDER BY ts sorts may break ties differently, letting the
+        -- cumulative SUM see the gap-flagged row mid-tie-group and
+        -- split one session into two (observed: +2 rows at sf1).
+        -- Spark's session_window is interval-merging — order-free —
+        -- so only the oracle needs the tiebreak.
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM g
     )
@@ -73,7 +82,11 @@ def stream_sliding_window(spark, sf_dir):
 def stream_session_window(spark, sf_dir):
     """Gap-based session windows per user; batch twin is classic
     lag+cumsum sessionization (session end = last event + gap,
-    matching Spark's session_window.end)."""
+    matching Spark's session_window.end). Boundary verified
+    empirically: Spark MERGES two events exactly `gap` apart
+    (adjacent [t,t+gap) windows coalesce), so the oracle's `<=` gap
+    test is the correct twin — `<` would disagree on exact-gap
+    pairs."""
     ev = W.read_events_stream(spark, sf_dir)
     return W.run_bounded(W.session_windows(ev), "complete")
 
