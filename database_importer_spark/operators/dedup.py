@@ -26,6 +26,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def content_key(df: DataFrame, text_col: str) -> DataFrame:
+    """Append the engine's standard 128-bit content key — a pair of
+    seeded xxhash64 LONGs (`__h1`, `__h2`; see exact_dedup for the
+    collision math and the why-not-sha2 note) — and DROP the text:
+    everything downstream of this projection shuffles 16 fixed-width
+    bytes per row, never the payload."""
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.xxhash64(F.col(text_col)).alias("__h1"),
+        F.xxhash64(F.lit(1), F.col(text_col)).alias("__h2"),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup by content digest: keep the smallest id per
     distinct text (deterministic representative). Returns the kept

@@ -52,6 +52,71 @@ def llm_dedup_exact(spark, sf_dir):
 
 
 @declare(
+    "llm_dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ), batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ), ckeys AS (
+        SELECT text, MIN(doc_id) AS first_corpus_doc
+        FROM corpus GROUP BY text
+    ), bkeys AS (
+        SELECT text, MIN(doc_id) AS first_batch_doc
+        FROM batch GROUP BY text
+    )
+    SELECT b.doc_id AS batch_doc_id,
+           c.first_corpus_doc,
+           k.first_batch_doc,
+           (c.first_corpus_doc IS NULL AND b.doc_id = k.first_batch_doc)
+               AS is_new
+    FROM batch b
+    JOIN bkeys k ON k.text = b.text
+    LEFT JOIN ckeys c ON c.text = b.text
+    """,
+)
+def llm_dedup_incremental(spark, sf_dir):
+    """Incremental dedup — the production shape of exact dedup: a new
+    crawl BATCH arrives and must be deduped (a) against the existing
+    CORPUS and (b) within itself, without ever re-deduping the corpus.
+    Per batch doc: the first corpus doc holding the same content
+    (NULL = unseen), the first batch doc holding it, and `is_new` —
+    admit iff no corpus dup AND this doc is its content's batch
+    representative. Deterministic split: doc_id % 10 plays the batch.
+
+    Scale shape: both sides project to the 128-bit content key
+    immediately (operators/dedup.content_key — text never shuffles),
+    the corpus collapses to ONE (key, min_id) row per distinct
+    content BEFORE its join (linear join output, the same
+    pre-aggregate discipline as the contamination check), and the
+    corpus side in steady state is a persisted digest INDEX you
+    maintain incrementally — each new batch rebuilds only its own
+    ~|batch| key set; the 100 TB corpus is touched once ever. Oracle
+    joins raw text (equivalent absent 2^-129 collisions)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = D.content_key(d.filter(F.col("doc_id") % 10 == 0), "text")
+    corpus = D.content_key(d.filter(F.col("doc_id") % 10 != 0), "text")
+    key = ["__h1", "__h2"]
+    ckeys = corpus.groupBy(*key).agg(
+        F.min("doc_id").alias("first_corpus_doc")
+    )
+    bkeys = batch.groupBy(*key).agg(F.min("doc_id").alias("first_batch_doc"))
+    return (
+        batch.join(bkeys, key)
+        .join(ckeys, key, "left")
+        .select(
+            F.col("doc_id").alias("batch_doc_id"),
+            "first_corpus_doc",
+            "first_batch_doc",
+            (
+                F.col("first_corpus_doc").isNull()
+                & (F.col("doc_id") == F.col("first_batch_doc"))
+            ).alias("is_new"),
+        )
+    )
+
+
+@declare(
     "llm_dedup_jaccard_pairs",
     oracle="""
     WITH reps AS (
