@@ -117,6 +117,74 @@ def llm_dedup_incremental(spark, sf_dir):
 
 
 @declare(
+    "llm_chunk_overlap",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), n AS (
+        SELECT doc_id, w,
+               greatest(1, CAST(ceil((length(w) - 64) / 48.0) AS INT) + 1)
+                   AS k
+        FROM t
+    ), e AS (
+        SELECT doc_id, w, unnest(generate_series(1, k)) AS i FROM n
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS chunk_id,
+           CAST(length(w[(i-1)*48 + 1 : least((i-1)*48 + 64, length(w))])
+                AS BIGINT) AS n_words,
+           array_to_string(
+               w[(i-1)*48 + 1 : least((i-1)*48 + 64, length(w))], ' ')
+               AS chunk_text
+    FROM e
+    """,
+)
+def llm_chunk_overlap(spark, sf_dir):
+    """Sliding-window chunking with overlap — the embedding/RAG prep
+    op: every doc splits into 64-word chunks on a 48-word stride
+    (16-word overlap), short docs yield exactly one chunk, and the
+    final chunk is the ragged tail. Output is (doc_id, chunk_id,
+    n_words, chunk_text), the unit that feeds an embedding model.
+
+    Scale shape: MAP-ONLY — zero exchange in the whole plan
+    (plan-tested). Chunk count is derived per row, an integer
+    sequence() explodes (the r3 rule: explode a builtin integer
+    sequence and slice per output row; never explode a lambda-built
+    array, which re-evaluates the HOF per output row), and slice()
+    reuses the one materialized split column. Embarrassingly
+    parallel at any corpus size; output volume = input words
+    × (1 + overlap fraction), the only real cost."""
+    C, S = 64, 48
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("__w")
+    )
+    k = F.greatest(
+        F.lit(1),
+        (F.ceil((F.size("__w") - F.lit(C)) / F.lit(float(S))) + 1).cast("int"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "__w",
+            F.explode(F.sequence(F.lit(0), k - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(
+                F.col("__w"), F.col("chunk_id") * S + 1, F.lit(C)
+            ).alias("__chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("__chunk").cast("long").alias("n_words"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+@declare(
     "llm_dedup_jaccard_pairs",
     oracle="""
     WITH reps AS (

@@ -165,6 +165,16 @@ def test_bucketed_merge_target_never_shuffles(spark):
     assert plan.count("Sort [") == 2
 
 
+def test_chunk_overlap_is_map_only(spark):
+    """llm_chunk_overlap: embarrassingly parallel — ZERO exchange,
+    one Generate (integer-sequence explode, never a lambda-built
+    array), no Python boundary."""
+    plan = physical(spark, "llm_chunk_overlap")
+    assert "Exchange" not in plan
+    assert plan.count("Generate") == 1
+    assert "EvalPython" not in plan
+
+
 def test_bucketed_layout_one_file_per_bucket(spark):
     """The truthfulness precondition of the reported bucket ordering
     (session.py legacy flag): every bucketed layout this engine
