@@ -40,6 +40,56 @@ def test_salted_join_rejects_unsupported_how(spark):
         salted_join(df, df, ["k"], how="full_outer")
 
 
+def test_ensure_bucketed_layout_recovers_stale_dir(spark, sf_dir):
+    """The cross-session scenario: the in-memory catalog forgets a
+    layout table but its warehouse directory survives. A fresh
+    ensure_bucketed_layout call must clear the leftover and rebuild
+    rather than fail on the existing path — and a widened column set
+    must produce a DIFFERENT table name (never silently reuse a
+    narrower layout)."""
+    import os
+    import shutil
+
+    from database_importer_spark.operators.partitioning import (
+        ensure_bucketed_layout,
+    )
+    from database_importer_spark.sources.loader import load_table
+
+    narrow = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t1 = ensure_bucketed_layout(
+        spark, sf_dir, "orders", narrow, ["o_orderkey"], buckets=4
+    )
+    assert spark.catalog.tableExists(t1)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {t1}")
+        .filter("col_name = 'Location'")
+        .collect()[0][1]
+    ).removeprefix("file:")
+    # simulate the next session: catalog forgets, directory survives
+    spark.sql(f"DROP TABLE {t1}")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "leftover"), "w") as f:
+        f.write("stale")
+    t1b = ensure_bucketed_layout(
+        spark, sf_dir, "orders", narrow, ["o_orderkey"], buckets=4
+    )
+    assert t1b == t1 and spark.catalog.tableExists(t1b)
+    assert spark.table(t1b).count() == narrow.count()
+    # widened columns -> new table name
+    wide = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t2 = ensure_bucketed_layout(
+        spark, sf_dir, "orders", wide, ["o_orderkey"], buckets=4
+    )
+    assert t2 != t1
+    for table in (t1b, t2):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(
+            os.path.join(os.path.dirname(loc), table), ignore_errors=True
+        )
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """Same-bucketed tables join without any shuffle: the catalog's
     bucketing metadata satisfies the join's distribution requirement."""
