@@ -37,7 +37,7 @@ def orderkey_bucketed_facts(spark, sf_dir, buckets: int = 32):
         "lineitem",
         t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate",
-            "l_suppkey",
+            "l_suppkey", "l_quantity",
         ),
         ["l_orderkey"],
         buckets=buckets,

@@ -422,6 +422,62 @@ def tpch_q18(spark, sf_dir):
 
 
 @declare(
+    "tpch_q18_bucketed",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(25,4))) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(25,4))) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def tpch_q18_bucketed(spark, sf_dir):
+    """Q18 over the shared orderkey-bucketed layout — the AGGREGATION
+    demonstration (q3/q5 showed joins): the dominant cost of Q18 is
+    the whole-lineitem groupBy(l_orderkey), and the layout's
+    HashPartitioning(orderkey) already satisfies that aggregate's
+    distribution, so the 100 TB fact aggregates IN PLACE — one
+    single-level HashAggregate, no partial/final split, no exchange.
+    The aggregate's output inherits the same partitioning, so the
+    join to the orders layout is again exchange-free (the hash-agg
+    output is no longer bucket-SORTED, so the planner re-sorts only
+    that reduced, post-HAVING side — |orders|-sized, not
+    |lineitem|-sized); customer is a broadcast dim. Wide-exchange
+    count for the whole query: ZERO (plan-pinned)."""
+    from database_importer_spark.plans.relational import (
+        orderkey_bucketed_facts,
+    )
+
+    lt, ot = orderkey_bucketed_facts(spark, sf_dir)
+    big = (
+        spark.table(lt)
+        .groupBy("l_orderkey")
+        .agg(dec4_sum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = spark.table(ot)
+    c = t(spark, sf_dir, "customer")
+    return (
+        big.hint("merge")
+        .join(o.hint("merge"), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@declare(
     "tpch_q13_customer_distribution",
     oracle="""
     WITH co AS (

@@ -165,6 +165,19 @@ def test_bucketed_merge_target_never_shuffles(spark):
     assert plan.count("Sort [") == 2
 
 
+def test_bucketed_q18_aggregates_in_place(spark):
+    """tpch_q18_bucketed: the layout's HashPartitioning satisfies the
+    whole-lineitem groupBy(orderkey) — the 100 TB fact aggregates IN
+    PLACE (no exchange), the agg output joins the orders layout
+    exchange-free (one sort of the reduced post-HAVING side only),
+    customer broadcasts. Zero wide exchange in the whole query."""
+    plan = physical(spark, "tpch_q18_bucketed")
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("SortMergeJoin") == 1
+    assert plan.count("Sort [") == 1  # only the reduced agg output
+    assert plan.count("Bucketed: true") == 2
+
+
 def test_chunk_overlap_is_map_only(spark):
     """llm_chunk_overlap: embarrassingly parallel — ZERO exchange,
     one Generate (integer-sequence explode, never a lambda-built
