@@ -89,10 +89,12 @@ def ensure_bucketed_layout(
     """Build (at most once per session) a persistent bucketed copy of
     ``df`` — the projected/derived image of ``{sf_dir}/{source}.parquet``
     — bucketed AND sorted on ``keys``, and return its catalog table
-    name. The name encodes (sf_dir, source-file fingerprint, column
-    set, keys, bucket count), so a layout widened with more columns or
-    re-bucketed differently is a NEW table: a stale narrower layout
-    from an earlier session can never be silently reused. A leftover
+    name. The name encodes (sf_dir, source-file fingerprint, the df's
+    CANONICALIZED LOGICAL PLAN, keys, bucket count), so a layout
+    widened with more columns, re-bucketed differently, or derived
+    through a different transformation (a filter, a different join)
+    is a NEW table: a stale or differently-derived layout can never
+    be silently reused even when the column names coincide. A leftover
     warehouse directory whose catalog entry the in-memory catalog has
     forgotten is cleared before the rebuild (cheaper than re-validating
     a possibly half-written layout).
@@ -106,15 +108,30 @@ def ensure_bucketed_layout(
     ordering flag depends on."""
     import hashlib
     import os
+    import re
     import shutil
 
     p = os.path.join(sf_dir, f"{source}.parquet")
     st = os.stat(p)
-    fp = f"{st.st_size}_{st.st_mtime_ns // 1000000}"
-    shape = ",".join(df.columns) + "|" + ",".join(keys) + f"|{buckets}"
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
+    # Identify the layout by the df's full derivation, not just its
+    # column names: two callers handing same-named projections with
+    # different rows (one filtered, one not) must get DIFFERENT
+    # layouts. The analyzed logical plan captures the derivation;
+    # expression ids (#123) and per-session paths are session noise,
+    # so strip ids to keep the tag stable across sessions over the
+    # same source files.
+    plan_str = df._jdf.queryExecution().analyzed().toString()
+    canonical = re.sub(r"#\d+L?", "#", plan_str)
+    shape = (
+        ",".join(df.columns)
+        + "|" + canonical
+        + "|" + ",".join(keys)
+        + f"|{buckets}"
+    )
     shape_tag = hashlib.md5(shape.encode()).hexdigest()[:8]
     dir_tag = "".join(
-        c if c.isalnum() else "_" for c in os.path.normpath(sf_dir)
+        c if c.isalnum() else "_" for c in os.path.abspath(sf_dir)
     ).lower()
     table = f"dbis_bkt_{source}_{dir_tag}_{fp}_{shape_tag}"
     if spark.catalog.tableExists(table):

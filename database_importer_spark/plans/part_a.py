@@ -356,9 +356,12 @@ def upsert_merge_bucketed(spark, sf_dir):
     join, matched-key semi, anti probe) scans in place with no
     exchange and no sort (bucketed + truthful sorted-bucket metadata);
     only the ~|batch| update source shuffles, once, to align with the
-    layout's partitioning. Nothing crosses the driver; no hash
-    relation is built. Update-batch size stops mattering entirely —
-    a 10 TB batch merges with the same plan."""
+    layout's partitioning. No BATCH-SIZED broadcast exists anywhere
+    (the insert source does embed a broadcast of a 1-row max-key
+    aggregate, hidden from the visible plan by the source's
+    localCheckpoint — that is O(1), not O(batch)). Update-batch size
+    stops mattering entirely — a 10 TB batch merges with the same
+    plan."""
     from database_importer_spark.plans.relational import (
         orderkey_bucketed_facts,
     )

@@ -208,10 +208,40 @@ def test_bucketed_layout_one_file_per_bucket(spark):
             .collect()[0][1]
         ).removeprefix("file:")
         files = glob.glob(os.path.join(loc, "part-*"))
-        assert len(files) == 32, (table, len(files))
-        # bucket ids 0..31 each appear exactly once in the filenames
-        buckets = sorted(int(os.path.basename(f).split("_")[1][:5]) for f in files)
-        assert buckets == list(range(32)), table
+        # The real invariant is "no bucket split across files": every
+        # file carries a distinct bucket id. An EMPTY bucket writes no
+        # file at all (its repartition task has zero rows), so at
+        # small/filtered scale factors fewer than 32 files is fine.
+        assert 0 < len(files) <= 32, (table, len(files))
+        import re
+
+        ids = []
+        for f in files:
+            m = re.search(r"_(\d{5})\.", os.path.basename(f))
+            assert m, f"unparseable bucket file name: {f}"
+            ids.append(int(m.group(1)))
+        assert len(set(ids)) == len(ids), (table, "bucket split across files")
+        assert all(0 <= i < 32 for i in ids), (table, ids)
+
+
+def test_bucketby_only_in_partitioning_module():
+    """session.py turns on the legacy sorted-bucket-ordering flag
+    GLOBALLY; it is truthful only for layouts written through
+    write_bucketed (repartition-on-key first → one file per bucket).
+    A direct df.write.bucketBy anywhere else in the package could
+    write a split bucket that silently mis-merges in sort-free SMJs.
+    Pin the invariant: bucketBy appears in operators/partitioning.py
+    and nowhere else."""
+    import glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "database_importer_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        with open(path) as fh:
+            if "bucketBy" in fh.read() and not path.endswith("partitioning.py"):
+                offenders.append(path)
+    assert not offenders, offenders
 
 
 def test_theta_range_join_stays_hash(spark):
