@@ -18,6 +18,7 @@ from database_importer_spark.operators import dedup as D
 from database_importer_spark.operators import multimodal as M
 from database_importer_spark.operators import similarity as S
 from database_importer_spark.operators import textstats as X
+from database_importer_spark.session import static_plan_session
 from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 
 # --- dedup ----------------------------------------------------------
@@ -825,7 +826,11 @@ def llm_fingerprint(spark, sf_dir):
     apply). On the ×100-replicated sf10 corpus: 30.3 s → 1.8 s, now
     4× FASTER than the DuckDB per-row twin; non-replicated corpora
     pay one text exchange (+0.15 s at sf0.1). Same law as the dedup
-    family: per-content work must scale with distinct content."""
+    family: per-content work must scale with distinct content.
+    Fixed two-exchange shape → static-plan session (397→182 ms at
+    sf0.1, tools/probe_floor.py — the largest AQE-staging tax in the
+    headline set)."""
+    spark = static_plan_session(spark)
     d = t(spark, sf_dir, "documents")
     per_text = d.groupBy("text").agg(F.collect_list("doc_id").alias("__ids"))
     fp = per_text.select(

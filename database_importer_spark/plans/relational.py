@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from database_importer_spark.operators.asof import asof_join
 from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
+from database_importer_spark.session import static_plan_session
 
 def orderkey_bucketed_facts(spark, sf_dir, buckets: int = 32):
     """The shared persistent orderkey-bucketed layout of the two fact
@@ -222,7 +223,13 @@ def filter_null_semantics(spark, sf_dir):
 def join_broadcast_hash(spark, sf_dir):
     """Star join with broadcast dims: nation/region are KB-sized at
     any SF — broadcasting them means the 100 TB fact side never
-    shuffles; each task joins locally against the hashed dim."""
+    shuffles; each task joins locally against the hashed dim.
+
+    Fixed-shape plan: runs on the static-plan session — AQE has no
+    join side to flip and no skew to split here, and its per-stage
+    scheduling round trips dominated the wall clock (433→288 ms at
+    sf0.1, tools/probe_floor.py; the saving is flat vs data size)."""
+    spark = static_plan_session(spark)
     c = t(spark, sf_dir, "customer")
     n = F.broadcast(t(spark, sf_dir, "nation"))
     r = F.broadcast(t(spark, sf_dir, "region"))
@@ -300,7 +307,11 @@ def join_bucketed_colocated(spark, sf_dir):
     rollup and the full `tpch_q3_bucketed` twin — parquet column
     pruning means each query still reads only its columns, which is
     exactly how a production bucketed table amortizes: one layout,
-    every orderkey join in the workload."""
+    every orderkey join in the workload.
+
+    Zero-exchange plan → static-plan session: with no shuffle at all
+    there is literally nothing for AQE to adapt."""
+    spark = static_plan_session(spark)
     lt, ot = orderkey_bucketed_facts(spark, sf_dir)
     jl, jo = spark.table(lt), spark.table(ot)
     # MERGE hint: at test sf the orders side is broadcast-sized and the
@@ -436,7 +447,11 @@ def join_theta_range(spark, sf_dir):
 def join_asof_nearest(spark, sf_dir):
     """As-of join: latest purchase at-or-before each click, per user —
     via the engine's union+window asof_join (one shuffle, no range
-    join; see operators/asof.py). Oracle: DuckDB ASOF LEFT JOIN."""
+    join; see operators/asof.py). Oracle: DuckDB ASOF LEFT JOIN.
+
+    Fixed shape (union → one key exchange → window): static-plan
+    session, −56 ms of AQE staging (tools/probe_floor.py)."""
+    spark = static_plan_session(spark)
     ev = t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"

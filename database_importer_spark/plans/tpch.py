@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from database_importer_spark.session import static_plan_session
 from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 
 def REV():
@@ -106,11 +107,15 @@ def tpch_q3_bucketed(spark, sf_dir):
     Date/segment filters still push into the bucketed parquet scans.
     At 100 TB this is the difference between re-shuffling ~TBs per
     run and reading both facts in place; plan-pinned by
-    tests/test_plans.py (no Exchange node at all)."""
+    tests/test_plans.py (no Exchange node at all).
+
+    Zero-wide-exchange shape → static-plan session (AQE staging cost
+    only, nothing to adapt; −95 ms at sf0.1, tools/probe_floor.py)."""
     from database_importer_spark.plans.relational import (
         orderkey_bucketed_facts,
     )
 
+    spark = static_plan_session(spark)
     lt, ot = orderkey_bucketed_facts(spark, sf_dir)
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = spark.table(ot).filter(
@@ -247,11 +252,14 @@ def tpch_q5_bucketed(spark, sf_dir):
     left: broadcasts + a 5-row n_name aggregate exchange.
 
     Measured sf10: 1990 ms unbucketed → see BASELINE.md (the date
-    filter on orders still pushes into the bucketed parquet scan)."""
+    filter on orders still pushes into the bucketed parquet scan).
+    Broadcasts + one 5-row exchange = fixed shape → static-plan
+    session (tools/probe_floor.py)."""
     from database_importer_spark.plans.relational import (
         orderkey_bucketed_facts,
     )
 
+    spark = static_plan_session(spark)
     lt, ot = orderkey_bucketed_facts(spark, sf_dir)
     o = spark.table(ot).filter(
         (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))

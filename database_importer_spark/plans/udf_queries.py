@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from database_importer_spark.functions.identifiers import quote_identifier
+from database_importer_spark.session import static_plan_session
 from database_importer_spark.plans.registry import declare, t
 
 
@@ -47,7 +48,10 @@ def udf_python_scalar(spark, sf_dir):
 def udf_pandas_vectorized(spark, sf_dir):
     """Arrow-vectorized pandas_udf: whole columns cross the Python
     boundary as Arrow batches (~10-100x over row-at-a-time). The
-    numpy float64 math is the same IEEE ops as the SQL twin — exact."""
+    numpy float64 math is the same IEEE ops as the SQL twin — exact.
+    Map-only plan → static-plan session: there is no shuffle for AQE
+    to stage at all (364→258 ms at sf0.1, tools/probe_floor.py)."""
+    spark = static_plan_session(spark)
 
     @F.pandas_udf("double")
     def discounted(price: pd.Series, discount: pd.Series) -> pd.Series:

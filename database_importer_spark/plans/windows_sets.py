@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from database_importer_spark.session import static_plan_session
 from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 
 # --- B.5 window functions ------------------------------------------
@@ -29,7 +30,10 @@ from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 def win_rank_topk_per_group(spark, sf_dir):
     """Top-k per group via row_number + filter: one shuffle on the
     partition key, per-group sort only (never a global sort). At
-    100 TB this is the canonical 'top 3 orders per customer' plan."""
+    100 TB this is the canonical 'top 3 orders per customer' plan.
+    One exchange + per-group sort = fixed shape → static-plan
+    session (tools/probe_floor.py)."""
+    spark = static_plan_session(spark)
     o = t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -81,7 +85,10 @@ def win_lag_lead(spark, sf_dir):
 )
 def win_running_sum_rows(spark, sf_dir):
     """Running total per customer: DECIMAL accumulation makes every
-    prefix sum order-independent-exact, so the whole column hash-matches."""
+    prefix sum order-independent-exact, so the whole column
+    hash-matches. One exchange + per-group sort = fixed shape →
+    static-plan session (283→208 ms at sf0.1, tools/probe_floor.py)."""
+    spark = static_plan_session(spark)
     o = t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")

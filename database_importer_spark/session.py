@@ -97,3 +97,39 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
+
+
+def static_plan_session(spark: SparkSession) -> SparkSession:
+    """Child session (shared SparkContext, executors, and catalog —
+    independent SQLConf) with adaptive execution DISABLED, for
+    declared plans whose physical shape is fully determined at plan
+    time: broadcast-only star joins, map-only kernels, zero-exchange
+    bucketed joins, fixed window/agg pipelines.
+
+    Why: AQE materializes every shuffle (and broadcast) as a
+    separately scheduled query stage with a re-optimization round
+    trip between stages. For plans with nothing to re-plan — no
+    candidate for skew split, no join-side to flip, partial
+    aggregation already shrinking the shuffle to rows-per-group —
+    that staging buys nothing and costs a per-stage scheduling round
+    trip that dominates sub-second queries (measured in
+    tools/probe_floor.py: join_broadcast_hash 433→288 ms,
+    llm_fingerprint 397→182 ms at sf0.1; both flat vs data size, so
+    the same absolute saving holds at sf10). This is a per-query
+    planner directive, not an engine default: shapes with real
+    re-plan opportunities (fact⨝fact shuffles, count-distinct
+    two-level, anything skewable) stay on the AQE session.
+
+    The child shares the SparkContext's broadcast relations, shuffle
+    service, and the shared external catalog (bucketed layouts built
+    in either session are visible to both); builder-level configs
+    (bucketed-scan ordering flag, parquet settings) are inherited
+    from the SparkContext conf."""
+    cached = getattr(spark, "_dbis_static_child", None)
+    if cached is not None:
+        return cached
+    child = spark.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    child._dbis_static_child = child  # idempotent: child of child = child
+    spark._dbis_static_child = child
+    return child
