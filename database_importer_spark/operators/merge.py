@@ -258,16 +258,45 @@ class Merger:
         u = self._data.withColumn(_MATCH_FLAG, F.lit(True))
         return F.broadcast(u) if self._broadcast else u
 
-    def merged(self, update: bool = True, insert: bool = False) -> DataFrame:
+    def merged(
+        self,
+        update: bool = True,
+        insert: bool = False,
+        strategy: str = "two_arm",
+    ) -> DataFrame:
         """Return the post-merge target as one lazy DataFrame plan.
 
         ``update``: matched rows take source values (NULLs included).
         ``insert``: unmatched source rows are appended, null-padding
         target columns absent from the source (completes the
         reference's importer.py:361-362).
+
+        ``strategy`` (update+insert only):
+          * ``"two_arm"`` (default) — update arm (left join) ∪ insert
+            arm (semi+anti). With ``broadcast=True`` the target side
+            is SCANNED twice but never shuffled: the right default
+            when the target is 100 TB and the batch broadcasts.
+          * ``"full_outer"`` — ONE full-outer join, one target scan,
+            no union. A full outer join cannot broadcast (no
+            preserved side), so the target must either shuffle or —
+            the case this strategy exists for — already satisfy the
+            join's distribution via a BUCKETED layout, where the
+            target side plans exchange-free and sort-free and only
+            the batch moves. Row-identical to two_arm (same
+            match-flag NULL-overwrite semantics; property-tested).
         """
         if not (update or insert):
             raise ValueError("at least one action must be performed")
+        if strategy not in ("two_arm", "full_outer"):
+            raise ValueError(f"unknown merge strategy: {strategy!r}")
+        if strategy == "full_outer":
+            if not (update and insert):
+                raise ValueError(
+                    "full_outer strategy implements the full MERGE "
+                    "(update=True, insert=True)"
+                )
+            self.validate_unique_keys()
+            return self._merged_full_outer()
         self.validate_unique_keys()
 
         keys = self._join_on
@@ -342,6 +371,40 @@ class Merger:
             out = out.unionByName(pad)
 
         return out
+
+    def _merged_full_outer(self) -> DataFrame:
+        """Single-pass MERGE: target FULL OUTER JOIN source on the
+        keys, then per-row arbitration — matched rows take source
+        values (the match flag, never NULL on a source-present row,
+        drives the branch so a NULL source value still overwrites),
+        target-only rows pass through, source-only rows become the
+        inserts with typed-NULL padding falling out of the join
+        itself. Target rows with NULL join keys survive as
+        target-only rows (the null-rejecting join condition can
+        never match them), preserving the reference's never-match
+        semantics."""
+        keys = self._join_on
+        b = self._data.withColumn(_MATCH_FLAG, F.lit(True)).alias("b")
+        a = self._target.alias("a")
+        cond = None
+        for k in keys:
+            c = _qcol(k, "a") == _qcol(k, "b")
+            cond = c if cond is None else (cond & c)
+        joined = a.join(b, cond, "full_outer")
+        cols = []
+        for c in self._target.columns:
+            if c in keys:
+                cols.append(F.coalesce(_qcol(c, "a"), _qcol(c, "b")).alias(c))
+            elif c in self._subset:
+                cols.append(
+                    F.when(F.col(_MATCH_FLAG).isNotNull(), _qcol(c, "b"))
+                    .otherwise(_qcol(c, "a"))
+                    .cast(self._target.schema[c].dataType)
+                    .alias(c)
+                )
+            else:
+                cols.append(_qcol(c, "a").alias(c))
+        return joined.select(*cols)
 
     def updated_rowcount(self) -> int:
         """Number of target rows a merge(update=True) touches — the

@@ -60,6 +60,12 @@ def test_merge_invariants(spark, tgt, src):
     both = m.merged(update=True, insert=True)
     assert both.count() == len(tgt) + len(unmatched)
 
+    # the single-pass full-outer strategy is row-identical to the
+    # two-arm shape on every generated key/null/duplicate pattern
+    fo = m.merged(update=True, insert=True, strategy="full_outer")
+    assert fo.exceptAll(both).count() == 0
+    assert both.exceptAll(fo).count() == 0
+
     # no key ever multiplied
     assert (
         both.groupBy("k").count().filter(F.col("count") > 1).count() == 0

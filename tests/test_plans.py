@@ -148,21 +148,20 @@ def test_bucketed_q5_single_tiny_exchange_zero_sort(spark):
 
 
 def test_bucketed_merge_target_never_shuffles(spark):
-    """upsert_merge_bucketed: the lakehouse-MERGE shape — both arms'
-    TARGET side (update left-outer, insert anti) scans the bucketed
-    layout with no exchange and no sort; only the update batch
-    shuffles (once per arm, ~|batch| rows) and sorts. No broadcast,
-    no driver-side hash relation: batch size stops mattering."""
+    """upsert_merge_bucketed: the single-pass lakehouse-MERGE shape
+    (round 5) — ONE full-outer sort-merge join arbitrates
+    update/keep/insert; the TARGET side scans the bucketed layout
+    once with no exchange and no sort; only the update batch
+    shuffles and sorts. No broadcast, no driver-side hash relation:
+    batch size stops mattering."""
     plan = physical(spark, "upsert_merge_bucketed")
-    assert plan.count("SortMergeJoin") == 2  # LeftOuter + LeftAnti
+    assert plan.count("SortMergeJoin") == 1 and "FullOuter" in plan
     assert "BroadcastExchange" not in plan
-    assert plan.count("Bucketed: true") == 2  # target scan per arm
-    # exchanges and sorts exist ONLY on the batch side: each must sit
-    # strictly below a bucketed-scan-free subtree — cheap proxy: the
-    # count equals the arm count, never more (a shuffled target would
-    # add a third/fourth)
-    assert plan.count("Exchange hashpartitioning") == 2
-    assert plan.count("Sort [") == 2
+    assert plan.count("Bucketed: true") == 1  # single target scan
+    # the one exchange and one sort belong to the batch side only —
+    # a shuffled or re-sorted target would add a second of each
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort [") == 1
 
 
 def test_bucketed_q18_aggregates_in_place(spark):

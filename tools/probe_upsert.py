@@ -103,6 +103,62 @@ def main():
 
     timed("reuse-broadcast variant", reuse_variant)
 
+    # --- round-5 single-pass full-outer strategy (VERDICT r4 #2) ----
+    from database_importer_spark.operators.merge import Merger
+
+    def full_outer():
+        m = Merger(t(spark, sf_dir, "orders"), src(), join_on=["o_orderkey"])
+        return m.merged(update=True, insert=True, strategy="full_outer")
+
+    timed("full-outer single-pass (unbucketed)", full_outer)
+
+    def declared_bucketed():
+        return REGISTRY["upsert_merge_bucketed"].fn(spark, sf_dir)
+
+    timed("declared bucketed merge (two-arm)", declared_bucketed)
+
+    def bucketed_full_outer():
+        from database_importer_spark.plans.relational import (
+            orderkey_bucketed_facts,
+        )
+
+        _, ot = orderkey_bucketed_facts(spark, sf_dir)
+        o = spark.table(ot)
+        upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+        mx = o.agg((F.max("o_orderkey") + F.lit(1)).alias("__key_base"))
+        ins = (
+            o.filter(F.col("o_orderkey") % 100 == 0)
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (F.col("o_orderkey") + F.col("__key_base")).alias("o_orderkey"),
+                (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+        s2 = upd.unionByName(ins).localCheckpoint(eager=False).hint("merge")
+        m = Merger(o, s2, join_on=["o_orderkey"], broadcast=False)
+        return m.merged(update=True, insert=True, strategy="full_outer")
+
+    timed("bucketed full-outer single-pass", bucketed_full_outer)
+
+    for label, build in (
+        ("full_outer vs declared", (full_outer, declared)),
+        ("bucketed_fo vs declared_bucketed", (bucketed_full_outer, declared_bucketed)),
+    ):
+        x, y = build[0](), build[1]()
+        diff = x.exceptAll(y).count() + y.exceptAll(x).count()
+        print(f"{label}: exceptAll diff rows = {diff}")
+        p = x._jdf.queryExecution().executedPlan().toString()
+        print(
+            "  plan:", "Exchange" , p.count("Exchange"),
+            "| SortMergeJoin", p.count("SortMergeJoin"),
+            "| target-side sorts", p.count("Sort ["),
+        )
+
     # sanity: same result as declared (row count + hash proxy)
     a = declared()
     b = reuse_variant()
