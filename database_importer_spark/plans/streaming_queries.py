@@ -9,6 +9,7 @@ from __future__ import annotations
 import tempfile
 
 from database_importer_spark.plans.registry import declare
+from database_importer_spark.session import static_plan_session
 from database_importer_spark.streaming import windows as W
 
 
@@ -25,7 +26,14 @@ def stream_tumbling_window(spark, sf_dir):
     """1-hour tumbling windows per event type through the REAL
     micro-batch + watermark + state-store machinery (bounded
     availableNow replay, complete mode) — the oracle is the batch
-    twin, which the bounded replay must reproduce exactly."""
+    twin, which the bounded replay must reproduce exactly.
+
+    Static-plan session: the micro-batch's physical shape is fixed
+    (scan → partial agg → state-store agg); AQE staging inside each
+    micro-batch is pure scheduling tax (−170 ms at sf0.1,
+    tools/probe_stream.py). State semantics are unchanged — the real
+    watermark + state-store machinery still runs every batch."""
+    spark = static_plan_session(spark)
     ev = W.read_events_stream(spark, sf_dir)
     return W.run_bounded(W.tumbling_counts(ev), "complete")
 
@@ -43,6 +51,7 @@ def stream_tumbling_window(spark, sf_dir):
 def stream_sliding_window(spark, sf_dir):
     """1h/15min sliding windows; batch twin generates each event's 4
     slide starts explicitly (epoch-aligned buckets, like Spark's)."""
+    spark = static_plan_session(spark)
     ev = W.read_events_stream(spark, sf_dir)
     return W.run_bounded(W.sliding_counts(ev), "complete")
 
@@ -87,6 +96,7 @@ def stream_session_window(spark, sf_dir):
     (adjacent [t,t+gap) windows coalesce), so the oracle's `<=` gap
     test is the correct twin — `<` would disagree on exact-gap
     pairs."""
+    spark = static_plan_session(spark)
     ev = W.read_events_stream(spark, sf_dir)
     return W.run_bounded(W.session_windows(ev), "complete")
 
@@ -98,6 +108,7 @@ def stream_session_window(spark, sf_dir):
 def stream_stateful_dedup(spark, sf_dir):
     """dropDuplicatesWithinWatermark projected to its key — on
     bounded replay ≡ batch DISTINCT over the key."""
+    spark = static_plan_session(spark)
     ev = W.read_events_stream(spark, sf_dir)
     return W.run_bounded(W.stateful_dedup(ev), "append")
 
