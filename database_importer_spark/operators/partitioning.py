@@ -144,6 +144,58 @@ def ensure_bucketed_layout(
     return table
 
 
+def ensure_partitioned_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    source: str,
+    df: DataFrame,
+    part_col: str,
+) -> str:
+    """Build (at most once per corpus) a persistent copy of ``df``
+    hive-partitioned on ``part_col`` (a low-cardinality derived
+    column, e.g. the event day) and return its path. The directory
+    name encodes the same (source fingerprint, canonical plan,
+    partition column) identity as the bucketed layouts, so a stale
+    or differently-derived layout is never reused; a half-written
+    layout (no _SUCCESS marker) is discarded and rebuilt.
+
+    This is the scan-pruning analogue of the bucketed-join layout:
+    date-partitioning is how a 100 TB event stream is laid out at
+    ingest, and a query filtering on the partition column prunes
+    whole directories at PLAN time — the scan-bound cost becomes
+    proportional to the queried range, not the corpus. One file per
+    partition (repartition on the column first) keeps the file count
+    equal to the partition count."""
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    p = os.path.join(sf_dir, f"{source}.parquet")
+    st = os.stat(p)
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
+    plan_str = df._jdf.queryExecution().analyzed().toString()
+    canonical = re.sub(r"#\d+L?", "#", plan_str)
+    shape = ",".join(df.columns) + "|" + canonical + "|" + part_col
+    shape_tag = hashlib.md5(shape.encode()).hexdigest()[:8]
+    dir_tag = "".join(
+        c if c.isalnum() else "_" for c in os.path.abspath(sf_dir)
+    ).lower()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, f"dbis_part_{source}_{dir_tag}_{fp}_{shape_tag}")
+    if os.path.exists(os.path.join(loc, "_SUCCESS")):
+        return loc
+    if os.path.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    (
+        df.repartition(F.col(part_col))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(loc)
+    )
+    return loc
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: list[str], how="inner"
 ) -> DataFrame:

@@ -66,6 +66,75 @@ def agg_events_value_rollup(spark, sf_dir):
 
 
 @declare(
+    "agg_events_rollup_partitioned",
+    oracle="""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
+               AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
+    GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    """,
+)
+def agg_events_rollup_partitioned(spark, sf_dir):
+    """The same telemetry rollup as `agg_events_value_rollup`, over a
+    DATE-PARTITIONED events layout, pruned to one queried week — the
+    scan-pruning twin of the bucketed-join family (VERDICT r4 #5).
+
+    `agg_events_value_rollup` is scan-bound: the rollup costs ≈ one
+    full pass over the corpus. But a 100 TB event stream is laid out
+    date-partitioned at ingest, and this query's own group key IS the
+    partition key — so the range filter prunes whole day directories
+    at plan time (PartitionFilters on the scan, plan-pinned in
+    tests/test_plans.py) and the cost becomes proportional to the
+    queried range (7 of 30 days here), not the corpus. The layout is
+    built once per corpus (operators/partitioning.
+    ensure_partitioned_layout, one file per day) and amortizes over
+    every ranged query; `day` is a real column of the layout, so the
+    groupBy reads it for free instead of re-deriving date_trunc per
+    event. Fixed shape (pruned scan → partial agg → one exchange) →
+    static-plan session."""
+    from database_importer_spark.operators.partitioning import (
+        ensure_partitioned_layout,
+    )
+    from database_importer_spark.session import static_plan_session
+
+    spark = static_plan_session(spark)
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    loc = ensure_partitioned_layout(spark, sf_dir, "events", ev, "day")
+    part = spark.read.parquet(loc).filter(
+        (F.col("day") >= F.lit("2024-01-08")) & (F.col("day") <= F.lit("2024-01-14"))
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        part.groupBy("event_type", "day")
+        .agg(
+            cnt.alias("n_events"),
+            dec4_sum(F.col("value")).alias("sum_value"),
+            (dec4_sum(F.col("value")) / cnt).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "sum_value",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@declare(
     "win_first_last_nth",
     oracle="""
     SELECT event_id, user_id,

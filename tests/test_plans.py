@@ -223,6 +223,18 @@ def test_bucketed_layout_one_file_per_bucket(spark):
         assert all(0 <= i < 32 for i in ids), (table, ids)
 
 
+def test_partitioned_rollup_prunes_directories(spark):
+    """agg_events_rollup_partitioned: the date-range filter must land
+    as PartitionFilters on the scan (whole day directories eliminated
+    at plan time — the 100 TB scan-bound fix), never as a post-scan
+    data filter; and the partition column feeds the groupBy without
+    re-deriving date_trunc per event."""
+    plan = physical(spark, "agg_events_rollup_partitioned")
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "2024-01-08" in scan and "2024-01-14" in scan
+    assert "date_trunc" not in plan  # day read from the layout
+
+
 def test_bucketby_only_in_partitioning_module():
     """session.py turns on the legacy sorted-bucket-ordering flag
     GLOBALLY; it is truthful only for layouts written through
