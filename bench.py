@@ -47,6 +47,8 @@ HEADLINE = [
     "agg_count_distinct",
     "win_rank_topk_per_group",
     "win_running_sum_rows",
+    "win_running_sum_bucketed",
+    "agg_events_rollup_partitioned",
     "limit_topk_global",
     "fn_math_core",
     "llm_dedup_exact",

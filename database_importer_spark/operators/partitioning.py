@@ -55,6 +55,7 @@ def write_bucketed(
     keys: list[str],
     buckets: int = 8,
     sort: bool = True,
+    sort_cols: list[str] | None = None,
 ) -> None:
     """Persist a table pre-hash-partitioned (and sorted) on its join
     keys. Two tables bucketed the same way join with NO exchange and
@@ -70,11 +71,17 @@ def write_bucketed(
     bucket is split across files (a multi-file bucket concatenates
     unsorted and would silently mis-merge). Writing through this
     function is what keeps the flag safe; test-pinned in
-    tests/test_plans.test_bucketed_layout_one_file_per_bucket."""
+    tests/test_plans.test_bucketed_layout_one_file_per_bucket.
+
+    ``sort_cols`` overrides the in-bucket sort order (must lead with
+    the bucket keys to keep the reported ordering useful to a
+    same-key merge join; a WINDOW layout extends the keys with the
+    frame's ORDER BY so WindowExec's required ordering is satisfied
+    straight off the scan)."""
     src = df.repartition(buckets, *[F.col(k) for k in keys])
     w = src.write.mode("overwrite").bucketBy(buckets, *keys)
     if sort:
-        w = w.sortBy(*keys)
+        w = w.sortBy(*(sort_cols or keys))
     w.saveAsTable(table)
 
 
@@ -85,6 +92,7 @@ def ensure_bucketed_layout(
     df: DataFrame,
     keys: list[str],
     buckets: int = 32,
+    sort_cols: list[str] | None = None,
 ) -> str:
     """Build (at most once per session) a persistent bucketed copy of
     ``df`` — the projected/derived image of ``{sf_dir}/{source}.parquet``
@@ -127,6 +135,7 @@ def ensure_bucketed_layout(
         ",".join(df.columns)
         + "|" + canonical
         + "|" + ",".join(keys)
+        + "|" + ",".join(sort_cols or [])
         + f"|{buckets}"
     )
     shape_tag = hashlib.md5(shape.encode()).hexdigest()[:8]
@@ -140,7 +149,7 @@ def ensure_bucketed_layout(
     loc = os.path.join(wh, table)
     if os.path.exists(loc):
         shutil.rmtree(loc, ignore_errors=True)
-    write_bucketed(df, table, keys, buckets=buckets)
+    write_bucketed(df, table, keys, buckets=buckets, sort_cols=sort_cols)
     return table
 
 

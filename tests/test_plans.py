@@ -223,6 +223,19 @@ def test_bucketed_layout_one_file_per_bucket(spark):
         assert all(0 <= i < 32 for i in ids), (table, ids)
 
 
+def test_bucketed_window_needs_no_exchange_or_sort(spark):
+    """win_running_sum_bucketed: the window-aligned layout (bucketed
+    on the PARTITION BY key, in-bucket sorted by partition+ORDER BY
+    keys) satisfies WindowExec's required distribution AND ordering
+    straight off the scan — the whole query is scan → window →
+    project, fully pipelined."""
+    plan = physical(spark, "win_running_sum_bucketed")
+    assert plan.count("Window") == 1
+    assert "Exchange" not in plan
+    assert "Sort [" not in plan
+    assert "Bucketed: true" in plan
+
+
 def test_partitioned_rollup_prunes_directories(spark):
     """agg_events_rollup_partitioned: the date-range filter must land
     as PartitionFilters on the scan (whole day directories eliminated
