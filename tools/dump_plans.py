@@ -46,6 +46,9 @@ ANNOTATED = {
     "agg_hash_groupby_double": "Q1 on the native-double path (r4): floor-quantized integer cents, plain partial+final hash agg, no Expand, no decimal accumulators.",
     "agg_count_distinct": "Exact distinct WITHOUT Expand (r4): manual two-level pre-aggregate on (group, key) then count — no row duplication before the shuffle.",
     "llm_text_tokenize_tf": "Term frequencies collapse duplicate texts FIRST (r4): the exchange carries each distinct text once; explode volume scales with distinct content.",
+    "upsert_merge_bucketed": "Single-pass MERGE (r5): ONE full-outer SMJ over the bucketed layout arbitrates update/keep/insert — the target scans once, exchange-free and sort-free; only the batch shuffles+sorts.",
+    "win_running_sum_bucketed": "Window-aligned layout (r5): bucket key = PARTITION BY, in-bucket sort = partition+ORDER BY — the window runs straight off the scan: ZERO exchange, ZERO sort, fully pipelined.",
+    "agg_events_rollup_partitioned": "Date-partitioned events layout (r5): the range filter prunes whole day directories at plan time (PartitionFilters); day feeds the groupBy from the layout — scan cost ∝ queried range.",
 }
 
 
