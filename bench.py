@@ -48,6 +48,7 @@ HEADLINE = [
     "win_rank_topk_per_group",
     "win_running_sum_rows",
     "win_running_sum_bucketed",
+    "win_rank_topk_bucketed",
     "agg_events_rollup_partitioned",
     "limit_topk_global",
     "fn_math_core",

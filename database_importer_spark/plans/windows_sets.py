@@ -47,6 +47,56 @@ def win_rank_topk_per_group(spark, sf_dir):
 
 
 @declare(
+    "win_rank_topk_bucketed",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_rank_topk_bucketed(spark, sf_dir):
+    """Top-3 per customer over a RANK-ALIGNED bucketed layout — the
+    second window-alignment demo (VERDICT r4 #7). bucketBy's sortBy
+    cannot express DESC, so the layout materializes the sort key:
+    ``__neg_price = -o_totalprice`` stored ascending is
+    order-equivalent to ``o_totalprice DESC`` (ties broken by
+    o_orderkey either way), and the window orders by the stored
+    column. With bucket key = PARTITION BY and in-bucket order
+    (o_custkey, __neg_price, o_orderkey), WindowExec's required
+    distribution AND ordering come straight off the scan: ZERO
+    exchange, ZERO sort (plan-pinned) — the materialized-sort-key
+    pattern any columnar warehouse uses for a recurring
+    top-k-per-entity query. Same oracle as the unbucketed twin."""
+    from database_importer_spark.operators.partitioning import (
+        ensure_bucketed_layout,
+    )
+
+    spark = static_plan_session(spark)
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (-F.col("o_totalprice")).alias("__neg_price"),
+    )
+    table = ensure_bucketed_layout(
+        spark, sf_dir, "orders", o, ["o_custkey"],
+        sort_cols=["o_custkey", "__neg_price", "o_orderkey"],
+    )
+    ob = spark.table(table)
+    w = Window.partitionBy("o_custkey").orderBy("__neg_price", "o_orderkey")
+    return (
+        ob.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@declare(
     "win_lag_lead",
     oracle="""
     SELECT event_id, user_id, ts, value,

@@ -236,6 +236,20 @@ def test_bucketed_window_needs_no_exchange_or_sort(spark):
     assert "Bucketed: true" in plan
 
 
+def test_bucketed_rank_needs_no_exchange_or_sort(spark):
+    """win_rank_topk_bucketed: DESC order materialized as an
+    ascending sort column in the layout (__neg_price) — the rank
+    window, like the running sum, runs straight off the scan; the
+    planner even pushes a WindowGroupLimit (per-group top-k
+    short-circuit) directly onto the scan output."""
+    plan = physical(spark, "win_rank_topk_bucketed")
+    assert plan.count("Window [") == 1
+    assert "Exchange" not in plan
+    assert "Sort [" not in plan
+    assert "Bucketed: true" in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_partitioned_rollup_prunes_directories(spark):
     """agg_events_rollup_partitioned: the date-range filter must land
     as PartitionFilters on the scan (whole day directories eliminated
