@@ -23,6 +23,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from database_importer_spark.plans.registry import dec4_sum
+
 # events parquet physical schemas. Historically the driver generated
 # ts as TIMESTAMP(NANOS) (surfaces as bigint under nanosAsLong and is
 # normalized after read); current testdata ships TIMESTAMP(MICROS)
@@ -138,14 +140,17 @@ def run_bounded(sdf: DataFrame, output_mode: str) -> DataFrame:
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
     """1-hour tumbling windows per event_type with a 10-minute
-    watermark: count + exact-decimal sum. Watermark bounds state; on
-    bounded replay (complete mode) every window emits."""
+    watermark: count + exact-decimal sum (dec4_sum long-quantized —
+    the r4 lever applies inside streaming aggregations too; the state
+    row carries a LONG instead of a DECIMAL and the per-row quantize
+    is codegen). Watermark bounds state; on bounded replay (complete
+    mode) every window emits."""
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+            dec4_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -176,7 +181,7 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+            dec4_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             "user_id",
