@@ -453,7 +453,15 @@ def sink_jdbc_live_merge(spark, sf_dir):
             plan.staging,
         )
         J.execute_statements(
-            spark, url, [plan.update, plan.insert, plan.drop_staging_after]
+            spark,
+            url,
+            [
+                plan.index_staging,  # after the bulk stage: load stays
+                plan.index_target,   # array-batched, probes become lookups
+                plan.update,
+                plan.insert,
+                plan.drop_staging_after,
+            ],
         )
         # materialize before the scratch DB disappears
         return (
