@@ -119,3 +119,81 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS dbis_orders_b")
         spark.sql("DROP TABLE IF EXISTS dbis_lineitem_b")
+
+
+def test_layout_identity_includes_derivation(spark, sf_dir):
+    """ADVICE r4 (medium): two same-named, same-column projections
+    with DIFFERENT derivations (one filtered) must map to different
+    layout tables — the cache key hashes the canonicalized analyzed
+    plan, not just column names."""
+    from database_importer_spark.operators.partitioning import (
+        ensure_bucketed_layout,
+    )
+    from database_importer_spark.sources.loader import load_table
+
+    full = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    filtered = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    t_full = ensure_bucketed_layout(
+        spark, sf_dir, "orders", full, ["o_orderkey"], buckets=4
+    )
+    t_filt = ensure_bucketed_layout(
+        spark, sf_dir, "orders", filtered, ["o_orderkey"], buckets=4
+    )
+    assert t_full != t_filt
+    assert spark.table(t_full).count() != spark.table(t_filt).count()
+    # and sort_cols is part of the identity too
+    t_sorted = ensure_bucketed_layout(
+        spark, sf_dir, "orders", full, ["o_orderkey"], buckets=4,
+        sort_cols=["o_orderkey", "o_totalprice"],
+    )
+    assert t_sorted != t_full
+
+
+def test_partitioned_layout_rebuild_and_reuse(spark, sf_dir):
+    """ensure_partitioned_layout: same derivation → same path (cache
+    hit, no rewrite); a half-written layout (no _SUCCESS) is
+    discarded and rebuilt."""
+    import os
+    import shutil
+
+    from database_importer_spark.operators.partitioning import (
+        ensure_partitioned_layout,
+    )
+    from database_importer_spark.sources.loader import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    p1 = ensure_partitioned_layout(spark, sf_dir, "events", ev, "day")
+    mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+    p2 = ensure_partitioned_layout(spark, sf_dir, "events", ev, "day")
+    assert p1 == p2
+    assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime  # no rewrite
+    # simulate a torn write: drop the marker → next call rebuilds
+    os.remove(os.path.join(p1, "_SUCCESS"))
+    p3 = ensure_partitioned_layout(spark, sf_dir, "events", ev, "day")
+    assert p3 == p1 and os.path.exists(os.path.join(p3, "_SUCCESS"))
+
+
+def test_static_plan_session_shares_context_and_confs(spark):
+    """static_plan_session: cached child (one per parent), adaptive
+    off, builder-level confs inherited, same SparkContext and
+    catalog; idempotent when handed the child itself."""
+    from database_importer_spark.session import static_plan_session
+
+    child = static_plan_session(spark)
+    assert static_plan_session(spark) is child          # cached
+    assert static_plan_session(child) is child          # idempotent
+    assert child.sparkContext is spark.sparkContext
+    assert child.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # builder-level confs (SparkContext conf) are inherited
+    assert child.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert (
+        child.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        == "true"
+    )
