@@ -277,7 +277,8 @@ def test_bucketby_only_in_partitioning_module():
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
         with open(path) as fh:
-            if "bucketBy" in fh.read() and not path.endswith("partitioning.py"):
+            # match the method CALL, not docstring prose about it
+            if ".bucketBy(" in fh.read() and not path.endswith("partitioning.py"):
                 offenders.append(path)
     assert not offenders, offenders
 
