@@ -62,7 +62,22 @@ def asof_join(
         *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in payload],
     )
     both = l.unionByName(r, allowMissingColumns=True)
+    return asof_fill(both, on, payload)
 
+
+def asof_fill(both: DataFrame, on: list[str], payload: list[str]) -> DataFrame:
+    """The carry-forward core of the as-of join, for a PRE-TAGGED
+    combined frame: ``both`` must carry ``__asof_ts`` (event time),
+    ``__asof_side`` (0 = right/source rows, 1 = left/probe rows),
+    ``__asof_tie`` (right tiebreak, NULL on left rows) and
+    NULL-padded ``payload`` columns on left rows.
+
+    Exposed separately for the SAME-SOURCE specialization: when both
+    sides are filters of one table (e.g. clicks and purchases of the
+    same event stream), the caller builds the tagged frame with
+    ``when()`` projections over a SINGLE scan instead of asof_join's
+    two-scan union — same window semantics, half the I/O. At 100 TB
+    the union path scans the stream twice; the tagged path once."""
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc_nulls_first())

@@ -446,31 +446,34 @@ def join_theta_range(spark, sf_dir):
 )
 def join_asof_nearest(spark, sf_dir):
     """As-of join: latest purchase at-or-before each click, per user —
-    via the engine's union+window asof_join (one shuffle, no range
-    join; see operators/asof.py). Oracle: DuckDB ASOF LEFT JOIN.
+    the engine's window-carry asof (one shuffle, no range join; see
+    operators/asof.py). Oracle: DuckDB ASOF LEFT JOIN.
 
-    Fixed shape (union → one key exchange → window): static-plan
-    session, −56 ms of AQE staging (tools/probe_floor.py)."""
+    Both sides are filters of the SAME event stream, so the tagged
+    combined frame is built with when() projections over ONE scan
+    (operators/asof.asof_fill) instead of asof_join's two-scan
+    union — identical (ts, side, tiebreak) ordering semantics, half
+    the I/O; the In(click,purchase) filter still pushes into the
+    scan. Fixed shape (scan → one key exchange → window):
+    static-plan session (tools/probe_floor.py)."""
+    from database_importer_spark.operators.asof import asof_fill
+
     spark = static_plan_session(spark)
-    ev = t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
+    is_p = F.col("event_type") == "purchase"
+    both = ev.select(
+        F.when(~is_p, F.col("event_id")).alias("event_id"),
         "user_id",
-        F.col("ts").alias("p_ts"),
-        F.col("event_id").alias("p_event_id"),
-        F.col("value").alias("purchase_value"),
+        F.when(~is_p, F.col("ts")).alias("ts"),
+        F.col("ts").alias("__asof_ts"),
+        F.when(is_p, F.lit(0)).otherwise(F.lit(1)).alias("__asof_side"),
+        F.when(is_p, F.col("event_id")).alias("__asof_tie"),
+        F.when(is_p, F.col("ts")).alias("purchase_ts"),
+        F.when(is_p, F.col("value")).alias("purchase_value"),
     )
-    out = asof_join(
-        clicks,
-        purchases.withColumn("purchase_ts", F.col("p_ts")),
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="p_ts",
-        payload=["purchase_ts", "purchase_value"],
-        right_tiebreak="p_event_id",
-    )
+    out = asof_fill(both, on=["user_id"], payload=["purchase_ts", "purchase_value"])
     return out.select("event_id", "user_id", "ts", "purchase_ts", "purchase_value")
 
 
