@@ -19,6 +19,31 @@ from pyspark.sql import functions as F
 SALT = "__dbis_salt"
 
 
+def _layout_lock(loc: str):
+    """Cross-process critical section for layout builds: an flock on
+    ``{loc}.lock``. Two processes (e.g. bench and pytest) computing
+    the same layout path must not rmtree what the other is reading or
+    mid-writing; combined with the only-delete-incomplete policy
+    (complete layouts — _SUCCESS present / catalog-registered — are
+    never deleted, only reused) this makes concurrent builds safe:
+    readers outside the lock only ever touch complete layouts, and
+    complete layouts are immutable."""
+    import fcntl
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _lock():
+        fd = open(loc + ".lock", "w")
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            fd.close()
+
+    return _lock()
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -102,10 +127,12 @@ def ensure_bucketed_layout(
     widened with more columns, re-bucketed differently, or derived
     through a different transformation (a filter, a different join)
     is a NEW table: a stale or differently-derived layout can never
-    be silently reused even when the column names coincide. A leftover
-    warehouse directory whose catalog entry the in-memory catalog has
-    forgotten is cleared before the rebuild (cheaper than re-validating
-    a possibly half-written layout).
+    be silently reused even when the column names coincide. Builds are
+    serialized cross-process by an flock; a COMPLETE leftover layout
+    (a peer process built the same content-addressed name) is adopted
+    by registering it as a bucketed external table, and only
+    half-written leftovers (no _SUCCESS) are cleared — no process can
+    delete a layout a peer is scanning.
 
     This is the co-locate-once-join-many persistent layout of the
     100 TB design (the layout cost amortizes over every downstream
@@ -147,9 +174,26 @@ def ensure_bucketed_layout(
         return table
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     loc = os.path.join(wh, table)
-    if os.path.exists(loc):
-        shutil.rmtree(loc, ignore_errors=True)
-    write_bucketed(df, table, keys, buckets=buckets, sort_cols=sort_cols)
+    with _layout_lock(loc):
+        if spark.catalog.tableExists(table):
+            return table
+        if os.path.exists(os.path.join(loc, "_SUCCESS")):
+            # Another process already built this exact layout (the
+            # name is content-addressed); adopt it by registering the
+            # bucketed external table instead of rebuilding — and
+            # never delete a complete layout a peer may be scanning.
+            ddl = df._jdf.schema().toDDL()
+            sort_clause = ", ".join(sort_cols or keys)
+            spark.sql(
+                f"CREATE TABLE {table} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({', '.join(keys)}) "
+                f"SORTED BY ({sort_clause}) INTO {buckets} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+            return table
+        if os.path.exists(loc):  # crashed half-write: safe under the lock
+            shutil.rmtree(loc, ignore_errors=True)
+        write_bucketed(df, table, keys, buckets=buckets, sort_cols=sort_cols)
     return table
 
 
@@ -194,14 +238,17 @@ def ensure_partitioned_layout(
     loc = os.path.join(wh, f"dbis_part_{source}_{dir_tag}_{fp}_{shape_tag}")
     if os.path.exists(os.path.join(loc, "_SUCCESS")):
         return loc
-    if os.path.exists(loc):
-        shutil.rmtree(loc, ignore_errors=True)
-    (
-        df.repartition(F.col(part_col))
-        .write.mode("overwrite")
-        .partitionBy(part_col)
-        .parquet(loc)
-    )
+    with _layout_lock(loc):
+        if os.path.exists(os.path.join(loc, "_SUCCESS")):
+            return loc  # a peer finished the build while we waited
+        if os.path.exists(loc):  # crashed half-write: safe under the lock
+            shutil.rmtree(loc, ignore_errors=True)
+        (
+            df.repartition(F.col(part_col))
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(loc)
+        )
     return loc
 
 

@@ -461,6 +461,7 @@ def sink_jdbc_live_merge(spark, sf_dir):
                 plan.update,
                 plan.insert,
                 plan.drop_staging_after,
+                plan.drop_index_target,  # leave no transient schema behind
             ],
         )
         # materialize before the scratch DB disappears

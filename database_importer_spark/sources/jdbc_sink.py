@@ -60,6 +60,7 @@ class MergePlan:
     update: str | None
     insert: str | None
     drop_staging_after: str
+    drop_index_target: str | None = None
 
 
 def build_merge_plan(
@@ -147,8 +148,15 @@ def build_merge_plan(
     # keeps statement-parity with the reference (importer.py:312-356
     # creates none): its UPDATE..FROM is a server-side hash join and
     # the real target carries its PK index.
+    # The target index is transient plumbing, not schema the merge is
+    # allowed to leave behind: it is dropped again in cleanup (the
+    # staging index disappears with the staging table). CREATE INDEX
+    # is additionally tolerated by execute_statements when it already
+    # exists, so a reused run_id (the default 'spark') can merge into
+    # the same database repeatedly.
     index_staging_sql = None
     index_target_sql = None
+    drop_index_target_sql = None
     if dialect != "mssql":
         key_list = ", ".join(q(k) for k in join_on)
         index_staging_sql = (
@@ -157,6 +165,7 @@ def build_merge_plan(
         index_target_sql = (
             f"CREATE INDEX {q('idx_tgt_' + run_id)} ON {target} ({key_list})"
         )
+        drop_index_target_sql = f"DROP INDEX {q('idx_tgt_' + run_id)}"
 
     insert_sql = None
     if insert:
@@ -178,6 +187,7 @@ def build_merge_plan(
         update=update_sql,
         insert=insert_sql,
         drop_staging_after=drop,
+        drop_index_target=drop_index_target_sql,
     )
 
 
@@ -211,7 +221,10 @@ def execute_statements(
     connection (the reference's single-connection merge transaction,
     importer.py:293-309) via the session JVM's DriverManager. A
     DROP of a not-yet-existing staging table is tolerated — that is
-    the idempotent pre-clean, importer.py:301."""
+    the idempotent pre-clean, importer.py:301 — and so is a CREATE
+    INDEX that already exists (neither Derby nor sqlite's older
+    releases support IF NOT EXISTS here; a repeated merge under the
+    same run_id must not abort on the second index build)."""
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
@@ -222,7 +235,11 @@ def execute_statements(
             try:
                 st.execute(sql)
             except Exception:
-                if not (tolerate_missing and sql.strip().startswith("DROP ")):
+                head = sql.strip()
+                if not (
+                    tolerate_missing
+                    and (head.startswith("DROP ") or head.startswith("CREATE INDEX"))
+                ):
                     raise
     finally:
         conn.close()

@@ -99,11 +99,19 @@ def _scratch_checkpoint_dir(name: str) -> str:
     file — paying disk fsyncs for them is pure tax (measured −120 ms
     per replay at sf0.1, tools/probe_stream.py). On a real cluster
     the checkpoint goes on durable shared storage; this knob is
-    replay-harness-only and falls back to the system tempdir."""
+    replay-harness-only and falls back to the system tempdir.
+
+    The directory is created fresh per invocation (mkdtemp): a
+    deterministic counter-derived path could collide with a leftover
+    checkpoint from a crashed run or a concurrent process, and a
+    foreign committed offset log makes availableNow silently resume
+    past the data (empty memory-sink result)."""
     import tempfile
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    return os.path.join(base, "dbis_stream_ckpt", name)
+    root = os.path.join(base, "dbis_stream_ckpt")
+    os.makedirs(root, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{name}_", dir=root)
 
 
 def run_bounded(sdf: DataFrame, output_mode: str) -> DataFrame:

@@ -117,6 +117,72 @@ def test_live_jdbc_stage_and_merge_derby(spark, tmp_path):
     ]
 
 
+def test_live_derby_repeated_merge_same_run_id(spark, tmp_path):
+    """Regression (ADVICE r5): a second merge into the same database
+    under a reused run_id (the API default) must not abort on CREATE
+    INDEX already-exists, and the transient target index must be
+    dropped in cleanup so indexes don't accumulate across runs."""
+    from database_importer_spark.sources.jdbc_sink import (
+        derby_shutdown,
+        derby_url,
+        execute_statements,
+        stage_dataframe,
+    )
+
+    db = str(tmp_path / "db")
+    url = derby_url(db, create=True)
+    target = spark.createDataFrame(
+        [("ID000001", 5, 10.0), ("ID000002", 4, 9.0)],
+        "id string, quantity int, price double",
+    )
+    (
+        target.write.mode("overwrite")
+        .option("createTableColumnTypes", "id VARCHAR(64)")
+        .jdbc(url, "GROCERIES")
+    )
+    for qty in (15, 25):  # two merges, SAME run_id
+        p = build_merge_plan(
+            "GROCERIES", ["id"], ["quantity", "price"], dialect="derby"
+        )
+        execute_statements(spark, url, [p.drop_staging, p.create_staging])
+        stage_dataframe(
+            spark.createDataFrame(
+                [("ID000001", qty, 20.0)], "id string, quantity int, price double"
+            ),
+            url,
+            p.staging,
+        )
+        execute_statements(
+            spark,
+            url,
+            [
+                p.index_staging,
+                p.index_target,
+                p.update,
+                p.insert,
+                p.drop_staging_after,
+                p.drop_index_target,
+            ],
+        )
+    got = sorted(
+        (r["id"], r["quantity"])
+        for r in spark.read.jdbc(url, "GROCERIES").select("id", "quantity").collect()
+    )
+    # no leftover transient index on the target after cleanup
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    rs = conn.createStatement().executeQuery(
+        "SELECT COUNT(*) FROM SYS.SYSCONGLOMERATES WHERE ISINDEX = true "
+        "AND CONGLOMERATENAME LIKE 'idx_tgt_%'"
+    )
+    rs.next()
+    leftover = rs.getInt(1)
+    conn.close()
+    derby_shutdown(spark, db)
+    assert got == [("ID000001", 25), ("ID000002", 4)]
+    assert leftover == 0
+
+
 def test_sqlite_statements_execute_end_to_end():
     """Golden-row check: run the generated sqlite statements against a
     real in-memory SQLite with the reference's groceries fixture —
