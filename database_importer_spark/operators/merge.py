@@ -95,6 +95,13 @@ class Merger:
     broadcast : bool
         Hint the update source as the broadcast side (default True:
         merge sources are small relative to a 100 TB target).
+    source_join_hint : str, optional
+        A join-strategy hint (e.g. ``"merge"``) applied to the source
+        side AT the merge-join sites only. Callers must not hint the
+        ``data`` frame themselves: the Merger also runs non-join
+        queries over it (key-uniqueness validation), where a dangling
+        join hint is dropped with a HintErrorLogger warning — and a
+        dropped hint means the plan it was meant to pin isn't pinned.
     """
 
     def __init__(
@@ -105,6 +112,7 @@ class Merger:
         subset: list[str] | None = None,
         keys: list[str] | None = None,
         broadcast: bool = True,
+        source_join_hint: str | None = None,
     ):
         if data.isEmpty():
             raise ValueError("data contains no records")
@@ -113,6 +121,7 @@ class Merger:
         self._data_master = data
         self._keys = list(keys or [])
         self._broadcast = broadcast
+        self._source_join_hint = source_join_hint
 
         self._check_dup_columns(data.columns)
 
@@ -254,8 +263,14 @@ class Merger:
 
     # --- execution ---------------------------------------------------
 
+    def _hinted_source(self, df: DataFrame) -> DataFrame:
+        """Apply the configured join-strategy hint to a source frame
+        that is about to become a join input (hints survive the
+        projections the arms add above it)."""
+        return df.hint(self._source_join_hint) if self._source_join_hint else df
+
     def _updates_frame(self) -> DataFrame:
-        u = self._data.withColumn(_MATCH_FLAG, F.lit(True))
+        u = self._hinted_source(self._data).withColumn(_MATCH_FLAG, F.lit(True))
         return F.broadcast(u) if self._broadcast else u
 
     def merged(
@@ -354,7 +369,7 @@ class Merger:
                     F.broadcast(matched_keys), on=keys, how="left_anti"
                 )
             else:
-                unmatched = self._data.join(
+                unmatched = self._hinted_source(self._data).join(
                     self._target.select(*[_qcol(k).alias(k) for k in keys]),
                     on=keys,
                     how="left_anti",
@@ -384,7 +399,11 @@ class Merger:
         never match them), preserving the reference's never-match
         semantics."""
         keys = self._join_on
-        b = self._data.withColumn(_MATCH_FLAG, F.lit(True)).alias("b")
+        b = (
+            self._hinted_source(self._data)
+            .withColumn(_MATCH_FLAG, F.lit(True))
+            .alias("b")
+        )
         a = self._target.alias("a")
         cond = None
         for k in keys:

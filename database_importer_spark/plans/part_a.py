@@ -390,9 +390,14 @@ def upsert_merge_bucketed(spark, sf_dir):
     # planner would happily broadcast it, silently reverting to the
     # other variant's plan (and disabling the bucketed scan it makes
     # unnecessary). The query exists to pin the layout-merge shape —
-    # batch-size-independent — so force the sort-merge path.
-    src = upd.unionByName(ins).localCheckpoint(eager=False).hint("merge")
-    m = Merger(o, src, join_on=["o_orderkey"], broadcast=False)
+    # batch-size-independent — so force the sort-merge path. The hint
+    # goes through source_join_hint so the Merger applies it only at
+    # the join site (a hint on the whole frame also reaches the
+    # non-join validation query, where Spark drops it with a warning).
+    src = upd.unionByName(ins).localCheckpoint(eager=False)
+    m = Merger(
+        o, src, join_on=["o_orderkey"], broadcast=False, source_join_hint="merge"
+    )
     return m.merged(update=True, insert=True, strategy="full_outer")
 
 
