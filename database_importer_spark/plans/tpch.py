@@ -301,7 +301,10 @@ def tpch_q5_bucketed(spark, sf_dir):
 )
 def tpch_q6(spark, sf_dir):
     """Q6: pure scan+filter+agg — every predicate pushes to parquet;
-    at 100 TB this reads only matching row groups of 4 columns."""
+    at 100 TB this reads only matching row groups of 4 columns.
+    Scan → partial agg → 1-row exchange = fixed shape → static-plan
+    session."""
+    spark = static_plan_session(spark)
     l = t(spark, sf_dir, "lineitem")
     return (
         l.filter(

@@ -63,11 +63,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # parquet scans: keep footer-based pruning + pushdown on
         .config("spark.sql.parquet.filterPushdown", "true")
-        # split large parquet files at 16 MB so a single-file table
-        # still scans in parallel (measured: 24% off a one-file 6M-row
-        # aggregate). Scale-neutral: on a many-file 100 TB layout the
-        # same plan just gets proportionally more splits.
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # split large parquet files at 32 MB so a single-file table
+        # still scans in parallel, without shattering a big file into
+        # more tasks than the row groups can feed. r6 sweep on the
+        # 489-row-group sf10 lineitem (1.0 GB): 16m→32m cut the Q1
+        # shape 0.94→0.67 s (fewer tasks = less per-task footer/codegen
+        # overhead at the same core utilization); 64m/128m were not
+        # reliably better and starve parallelism on mid-size files.
+        # Splits align to row-group boundaries, so single-row-group
+        # files (sf0.1) are one task at ANY setting — this knob only
+        # shapes multi-row-group scans.
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        # 4x the vectorized parquet reader's column batch (4096→16384
+        # rows): fewer batch turnarounds per scan, measured -18% on the
+        # sf10 Q1 shape, flat at sf0.1. Memory cost is batch_rows x
+        # read-schema width per active task — bounded and small for
+        # the column-pruned scans this engine plans.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
         # bigger Arrow batches across the Python boundary: ~12% off
         # pandas-UDF queries at sf10 (fewer per-batch round trips);
         # 64k rows x a few cols stays ~1-2 MB per batch per core

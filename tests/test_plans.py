@@ -250,6 +250,20 @@ def test_bucketed_rank_needs_no_exchange_or_sort(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_asof_layout_needs_no_exchange_or_sort(spark):
+    """join_asof_nearest: the tagged as-of frame rides a layout
+    bucketed on user_id and in-bucket sorted by (user_id, ts, side,
+    tie) — the carry-forward window's exact required distribution and
+    ordering, so the whole as-of join is scan → window → filter with
+    no exchange and no sort (the window-alignment law applied to
+    asof, VERDICT r5 #1b)."""
+    plan = physical(spark, "join_asof_nearest")
+    assert plan.count("Window [") == 1
+    assert "Exchange" not in plan
+    assert "Sort [" not in plan
+    assert "Bucketed: true" in plan
+
+
 def test_partitioned_rollup_prunes_directories(spark):
     """agg_events_rollup_partitioned: the date-range filter must land
     as PartitionFilters on the scan (whole day directories eliminated

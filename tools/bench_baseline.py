@@ -38,6 +38,7 @@ def main() -> None:
     # arrays go to stderr so the spread is auditable.
     runs = max(RUNS, 5)
     rows = []
+    raw: dict[str, dict[str, list[float]]] = {}
     for key in HEADLINE:
         q = REGISTRY[key]
         materialize(q.fn(spark, sf_dir))  # warm
@@ -47,6 +48,7 @@ def main() -> None:
             materialize(q.fn(spark, sf_dir))
             stimes.append(time.perf_counter() - t0)
         s_ms = min(stimes) * 1000
+        raw[key] = {"spark": [round(x, 3) for x in stimes]}
         print(f"  {key} spark {[round(x,3) for x in stimes]}", file=sys.stderr)
 
         if q.oracle is not None:
@@ -64,6 +66,7 @@ def main() -> None:
                 run_duck()
                 dtimes.append(time.perf_counter() - t0)
             d_ms = min(dtimes) * 1000
+            raw[key]["duck"] = [round(x, 3) for x in dtimes]
             print(f"  {key} duck  {[round(x,3) for x in dtimes]}", file=sys.stderr)
             # free the materialized output before the next query's
             # Spark timing — holding a 6M-row table would poison it
@@ -73,14 +76,32 @@ def main() -> None:
         else:
             rows.append((key, s_ms, None, None))
 
+    # Persist every raw timing so a reader can separate host-noise
+    # spread from a real regression without re-running (the VERDICT r5
+    # "regressions" were exactly this ambiguity).
+    import json
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"BENCH_RUNS_{tag}.json",
+    )
+    with open(out, "w") as f:
+        json.dump(raw, f, indent=1)
+    print(f"  per-run arrays -> {out}", file=sys.stderr)
+
     lines = []
     for key, s_ms, d_ms, ratio in rows:
+        spread = (max(raw[key]["spark"]) - min(raw[key]["spark"])) * 1000
         if d_ms is None:
-            lines.append(f"| `{key}` | {s_ms:.0f} | — | — | rows-only |")
+            lines.append(
+                f"| `{key}` | {s_ms:.0f} (±{spread:.0f}) | — | — | rows-only |"
+            )
         else:
             ok = "yes" if ratio <= 2 else "no"
             lines.append(
-                f"| `{key}` | {s_ms:.0f} | {d_ms:.0f} | {ratio:.1f}x | {ok} |"
+                f"| `{key}` | {s_ms:.0f} (±{spread:.0f}) | {d_ms:.0f} | "
+                f"{ratio:.1f}x | {ok} |"
             )
     print("\n".join(lines))
 
