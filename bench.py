@@ -33,6 +33,7 @@ from database_importer_spark.plans import REGISTRY  # noqa: E402
 HEADLINE = [
     "upsert_merge_full",
     "upsert_merge_bucketed",
+    "upsert_merge_delta_rows",
     "tpch_q3_shipping_priority",
     "tpch_q3_bucketed",
     "tpch_q5_local_supplier_volume",

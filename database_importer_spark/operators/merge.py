@@ -387,6 +387,68 @@ class Merger:
 
         return out
 
+    def merged_delta(self, update: bool = True, insert: bool = True) -> DataFrame:
+        """Only the rows a MERGE would WRITE: the post-update image of
+        matched target rows plus the typed-NULL-padded insert rows —
+        never the unchanged remainder of the target.
+
+        This is the realistic 100 TB merge surface: a lakehouse MERGE
+        commit writes changed+inserted rows (new file versions for
+        touched rows), not a re-materialization of every target row.
+        Output size is ≤ |source|, so the sink cost is batch-
+        proportional — the full-table ``merged()`` keys exist for
+        reference parity (the reference rewrites its DBMS table in
+        place server-side), this is the shape a production pipeline
+        ships.
+
+        Plan: the update arm probes the target with an INNER join
+        against the (broadcast, by default) source — the target only
+        ever streams through a hash probe, nothing target-sized
+        shuffles or is output; the insert arm is the same anti-join as
+        ``merged()``. Row-identity property vs merged() is pytest-
+        pinned: merged() minus untouched target rows == merged_delta().
+        """
+        if not (update or insert):
+            raise MergerError("at least one action must be performed")
+        self.validate_unique_keys()
+
+        keys = self._join_on
+        arms = []
+        if update:
+            a, b = self._target.alias("a"), self._updates_frame().alias("b")
+            joined = a.join(b, on=keys, how="inner")
+            cols = []
+            for c in self._target.columns:
+                if c in keys:
+                    cols.append(_qcol(c))
+                elif c in self._subset:
+                    cols.append(_qcol(c, "b").alias(c))
+                else:
+                    cols.append(_qcol(c, "a").alias(c))
+            arms.append(joined.select(*cols))
+        if insert:
+            unmatched = self._hinted_source(self._data).join(
+                self._target.select(*[_qcol(k).alias(k) for k in keys]),
+                on=keys,
+                how="left_anti",
+            )
+            arms.append(
+                unmatched.select(
+                    *[
+                        _qcol(c).cast(self._target.schema[c].dataType).alias(c)
+                        if c in unmatched.columns
+                        else F.lit(None)
+                        .cast(self._target.schema[c].dataType)
+                        .alias(c)
+                        for c in self._target.columns
+                    ]
+                )
+            )
+        out = arms[0]
+        for extra in arms[1:]:
+            out = out.unionByName(extra)
+        return out
+
     def _merged_full_outer(self) -> DataFrame:
         """Single-pass MERGE: target FULL OUTER JOIN source on the
         keys, then per-row arbitration — matched rows take source

@@ -340,6 +340,43 @@ def upsert_merge_full(spark, sf_dir):
     return m.merged(update=True, insert=True)
 
 
+_DELTA_ORACLE = f"""
+    WITH u AS ({_U_SQL}), s AS ({_INS_SQL})
+    SELECT a.o_orderkey, a.o_custkey, u.o_orderstatus, u.o_totalprice,
+           a.o_orderdate, a.o_orderpriority
+    FROM orders a JOIN u ON a.o_orderkey = u.o_orderkey
+    UNION ALL
+    SELECT s.o_orderkey, NULL AS o_custkey, s.o_orderstatus, s.o_totalprice,
+           NULL AS o_orderdate, NULL AS o_orderpriority
+    FROM s WHERE NOT EXISTS
+        (SELECT 1 FROM orders a WHERE a.o_orderkey = s.o_orderkey)
+    """
+
+
+@declare("upsert_merge_delta_rows", oracle=_DELTA_ORACLE)
+def upsert_merge_delta_rows(spark, sf_dir):
+    """The DELTA-OUTPUT merge (VERDICT r5 #4): only the rows the MERGE
+    writes — updated images + inserts — never the unchanged target.
+    This is what a lakehouse MERGE commit materializes; the full-table
+    `upsert_merge_full` re-emits all target rows for reference parity
+    (the reference rewrites its DBMS table server-side), which makes
+    its bench row sink-bound at |target|. Here the sink cost is
+    batch-proportional: |output| ≤ |source| no matter how big the
+    target — at 100 TB the merge writes megabytes, not the table.
+
+    Plan: target streams through one broadcast hash probe per arm
+    (inner for updates, anti for inserts) — nothing target-sized
+    shuffles, nothing target-sized is output."""
+    target = t(spark, sf_dir, "orders")
+    src = (
+        _updates_df(spark, sf_dir)
+        .unionByName(_insert_source_df(spark, sf_dir))
+        .localCheckpoint(eager=False)
+    )
+    m = Merger(target, src, join_on=["o_orderkey"])
+    return m.merged_delta(update=True, insert=True)
+
+
 @declare("upsert_merge_bucketed", oracle=_UPSERT_ORACLE)
 def upsert_merge_bucketed(spark, sf_dir):
     """The same full MERGE executed against the persistent

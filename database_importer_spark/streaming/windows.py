@@ -63,16 +63,23 @@ _QCOUNTER = [0]
 
 def _events_stream_dir(sf_dir: str) -> str:
     """The file stream source requires a *directory*; stage one with
-    a symlink to the (read-only) events parquet."""
+    a symlink to the (read-only) events parquet. sf_dir is abspath'd
+    first: a relative path would both split the cache by caller cwd
+    and create a symlink whose target breaks when cwd changes (a
+    broken link fails os.path.exists yet still blocks os.symlink)."""
     import hashlib
     import tempfile
 
+    sf_dir = os.path.abspath(sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"dbis_events_stream_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    target = os.path.join(sf_dir, "events.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(target):
+        os.remove(link)  # stale/broken link from an earlier caller
+    if not os.path.lexists(link):
+        os.symlink(target, link)
     return d
 
 

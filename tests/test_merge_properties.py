@@ -71,6 +71,13 @@ def test_merge_invariants(spark, tgt, src):
         both.groupBy("k").count().filter(F.col("count") > 1).count() == 0
     )
 
+    # the delta-output merge is exactly the touched slice of the full
+    # merge: every source-keyed row of merged(), nothing else
+    delta = m.merged_delta(update=True, insert=True)
+    touched = both.join(source_u.select("k").na.drop(), "k", "left_semi")
+    assert delta.exceptAll(touched).count() == 0
+    assert touched.exceptAll(delta).count() == 0
+
     # NULL-key and unmatched-key target rows unchanged; matched rows
     # take source 'a' (even when NULL); 'b' never changes
     expect_a = {k: a for k, a in src_unique if k is not None}
