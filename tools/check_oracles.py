@@ -28,7 +28,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 if isinstance(v, (list, np.ndarray))
                 else v
             )
-    df = df.sort_values(by=list(df.columns), ignore_index=True, key=lambda s: s.map(str))
+    # astype(str) == map(str) element-wise (str() conversion for
+    # floats is shortest-roundtrip repr; Timestamp/NaT stringify the
+    # same) but runs the numeric columns through a C loop — the
+    # difference between minutes and hours when canonicalizing an
+    # sf10 sweep's 60M-row outputs.
+    df = df.sort_values(
+        by=list(df.columns), ignore_index=True, key=lambda s: s.astype(str)
+    )
     return df
 
 
@@ -61,7 +68,24 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         return problems
     a, b = canon(spark_pdf), canon(duck_pdf)
     for c in a.columns:
-        av, bv = a[c].tolist(), b[c].tolist()
+        sa, sb = a[c], b[c]
+        # Vectorized fast path for primitive dtypes (same semantics as
+        # values_equal: exact equality, NaN==NaN, NULL==NULL) — the
+        # per-element python loop below is hours, not minutes, on the
+        # 60M-row map-only outputs of an sf10 sweep. Object columns
+        # (tuples from collected arrays, mixed types) keep the loop.
+        if sa.dtype == sb.dtype and sa.dtype != object:
+            eq = (sa == sb) | (sa.isna() & sb.isna())
+            if bool(eq.all()):
+                continue
+            bad_idx = np.flatnonzero(~eq.to_numpy())
+            i = int(bad_idx[0])
+            problems.append(
+                f"col '{c}': {len(bad_idx)} mismatches, first at row {i}: "
+                f"spark={sa.iloc[i]!r} duckdb={sb.iloc[i]!r}"
+            )
+            continue
+        av, bv = sa.tolist(), sb.tolist()
         bad = [i for i, (x, y) in enumerate(zip(av, bv)) if not values_equal(x, y)]
         if bad:
             i = bad[0]
