@@ -21,7 +21,7 @@ ANNOTATED = {
     "upsert_merge_full": "Full upsert: broadcast update join + semi-then-anti insert — no Exchange of the target anywhere in the plan.",
     "join_broadcast_hash": "Star join: both dims broadcast, fact side unshuffled until the final partial+final aggregation.",
     "join_shuffle_sortmerge": "Large x large: both sides hash-partition on the join key; AQE re-plans at runtime.",
-    "join_asof_nearest": "As-of via union+window: one hash exchange per side, sort within user — no range join, no cartesian.",
+    "join_asof_nearest": "As-of via tagged-frame window over a window-aligned bucketed layout (r6): bucket key = the as-of partition key, in-bucket sort = (key, ts, side, tie) — ZERO exchange, ZERO sort, no range join, no cartesian.",
     "agg_hash_groupby": "TPC-H Q1: partial HashAggregate before the exchange (shuffle carries group partials, not rows).",
     "limit_topk_global": "Global top-k: TakeOrderedAndProject — per-task heaps, no global sort.",
     "llm_dedup_exact": "Dedup: aggregation on sha2 digest — the text payload never crosses the exchange.",
@@ -49,6 +49,7 @@ ANNOTATED = {
     "upsert_merge_bucketed": "Single-pass MERGE (r5): ONE full-outer SMJ over the bucketed layout arbitrates update/keep/insert — the target scans once, exchange-free and sort-free; only the batch shuffles+sorts.",
     "win_running_sum_bucketed": "Window-aligned layout (r5): bucket key = PARTITION BY, in-bucket sort = partition+ORDER BY — the window runs straight off the scan: ZERO exchange, ZERO sort, fully pipelined.",
     "agg_events_rollup_partitioned": "Date-partitioned events layout (r5): the range filter prunes whole day directories at plan time (PartitionFilters); day feeds the groupBy from the layout — scan cost ∝ queried range.",
+    "upsert_merge_delta_rows": "Delta-output merge (r6): only the rows the MERGE writes — updated images via an inner broadcast probe, inserts via the anti probe; the target streams through hash probes, nothing target-sized shuffles or is emitted.",
 }
 
 
