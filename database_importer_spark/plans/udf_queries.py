@@ -50,7 +50,12 @@ def udf_pandas_vectorized(spark, sf_dir):
     boundary as Arrow batches (~10-100x over row-at-a-time). The
     numpy float64 math is the same IEEE ops as the SQL twin — exact.
     Map-only plan → static-plan session: there is no shuffle for AQE
-    to stage at all (364→258 ms at sf0.1, tools/probe_floor.py)."""
+    to stage at all (364→258 ms at sf0.1, tools/probe_floor.py).
+    Cost decomposition (tools/probe_arrow.py, sf10): compute floor
+    0.39 s, + 0.73 s for the two-input-column Arrow round trip =
+    1.12 s — the residual vs DuckDB is serialization by construction,
+    and only the UDF's inputs cross (the projection stays JVM-side);
+    the mapInArrow alternative measured 12x WORSE (whole rows cross)."""
     spark = static_plan_session(spark)
 
     @F.pandas_udf("double")
@@ -192,13 +197,19 @@ def udf_cogroup_pandas(spark, sf_dir):
     """,
 )
 def udf_map_in_arrow(spark, sf_dir):
-    """mapInArrow — the zero-copy end of the Python surface: batches
-    arrive as raw Arrow RecordBatches (no pandas conversion at all),
-    computed with Arrow kernels (SIMD, columnar), yielded back. The
-    cheapest possible Python boundary — use when pandas semantics
-    (index, NaN coercion) are unwanted overhead. Multiplication of
-    doubles is IEEE-exact, so the result hash-matches the SQL twin
-    bit for bit."""
+    """mapInArrow — the whole-batch end of the Python surface: batches
+    arrive as raw Arrow RecordBatches (no pandas conversion), computed
+    with Arrow kernels, yielded back. Declared for the surface; know
+    its cost model (measured, tools/probe_arrow.py at sf10): a MAP
+    operator ships EVERY column of every row through Python both ways,
+    so for a scalar expression it loses badly to a pandas_udf, which
+    ships only the UDF's input columns while the projection stays
+    JVM-side (13.5 s vs 1.1 s on the same computation; builtin 0.4 s).
+    Use mapInArrow only when the computation genuinely consumes whole
+    batches (multi-column restructuring, batch-level libraries) —
+    never as a 'faster pandas_udf'. Multiplication of doubles is
+    IEEE-exact, so the result hash-matches the SQL twin bit for
+    bit."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
