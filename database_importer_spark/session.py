@@ -100,6 +100,14 @@ def get_spark(
         # same truncation DuckDB applies, so oracles agree.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # the oracle harness legitimately collects full query outputs
+        # (toPandas) to diff against DuckDB — at sf10 a map-only key's
+        # 60M-row result serializes past the 1g default cap. Engine
+        # plans themselves never collect data-sized results.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         # keep managed-table data (bucketed layouts) out of the repo
         .config("spark.sql.warehouse.dir", "/tmp/dbis_warehouse")
         .config(

@@ -79,7 +79,10 @@ def _events_stream_dir(sf_dir: str) -> str:
     if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(target):
         os.remove(link)  # stale/broken link from an earlier caller
     if not os.path.lexists(link):
-        os.symlink(target, link)
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass  # concurrent caller staged the same link — identical target
     return d
 
 
