@@ -6,10 +6,22 @@ a changed row is *closed* (valid_to = batch_time, is_current=false)
 and a new open version inserted; unchanged rows pass through
 untouched; brand-new keys insert as open versions.
 
-One Catalyst plan: current slice FULL OUTER JOIN updates on the
-business key, per-row CASE on (matched, changed) — the same
-broadcast-small-side discipline as Merger, so the dimension's
-history never shuffles (it unions back in untouched).
+Join shape (round-6 hardening — the same lesson as Merger's insert
+arm): a FULL OUTER join has no preserved side, so a broadcast hint
+on it can never bind. Worse, Catalyst's outer-join elimination
+splits the three output arms of the old single-full-outer plan into
+a left-outer arm (broadcast OK) and a RIGHT-outer arm for the
+new-versions rows — where build-right broadcast is unsupported, so
+the hint silently dropped (HintErrorLogger) and the new-versions arm
+sort-merge-shuffled the whole dimension. With ``broadcast=True`` the
+plan is now three explicit broadcast joins and the dimension NEVER
+shuffles: current slice LEFT OUTER broadcast(updates) (close/carry +
+changed new versions), a key semi-probe of the SAME broadcast frame
+(≤|updates| rows, one AQE-shared hash relation), and updates
+LEFT ANTI broadcast(matched keys) for brand-new keys. With
+``broadcast=False`` the single full-outer scan is kept — the right
+shape when a bucketed layout supplies the join distribution
+(operators/merge.py full_outer strategy notes).
 
 Change detection is null-safe (NOT (a <=> b)): NULL→value and
 value→NULL transitions are real changes.
@@ -92,16 +104,6 @@ def scd2_merge(
     on = reduce(
         lambda a, b: a & b, [curr[k] == u[f"u_{k}"] for k in keys]
     )
-    j = curr.join(u, on, "full_outer")
-
-    # provenance via markers, NOT key nullability: a curr row with a
-    # NULL business key is still a curr row (it just never matches).
-    matched = F.col(_MATCH).isNotNull() & curr[_CURR].isNotNull()
-    changed = matched & reduce(
-        lambda a, b: a | b,
-        [~curr[c].eqNullSafe(F.col(f"u_{c}")) for c in tracked],
-    )
-    new_key = F.col(_MATCH).isNotNull() & curr[_CURR].isNull()
 
     other_cols = [
         c
@@ -109,7 +111,7 @@ def scd2_merge(
         if c not in keys + tracked + [valid_from, valid_to, is_current]
     ]
 
-    def closed_or_carried():
+    def closed_or_carried(j, matched, changed):
         """Rows sourced from the current slice: closed when changed,
         carried forward otherwise; dropped when the key is update-only."""
         return j.filter(curr[_CURR].isNotNull()).select(
@@ -121,11 +123,16 @@ def scd2_merge(
             F.when(changed, F.lit(False)).otherwise(curr[is_current]).alias(is_current),
         )
 
-    def new_versions():
-        """Open versions for changed keys and brand-new keys."""
-        src = j.filter(changed | new_key)
+    def open_versions(src):
+        """Open versions from update-side columns (curr[k] fallback
+        covers the full-outer path where the frame carries both)."""
+        key_cols = (
+            [F.coalesce(F.col(f"u_{k}"), curr[k]).alias(k) for k in keys]
+            if _CURR in src.columns
+            else [F.col(f"u_{k}").alias(k) for k in keys]
+        )
         return src.select(
-            *[F.coalesce(F.col(f"u_{k}"), curr[k]).alias(k) for k in keys],
+            *key_cols,
             *[F.col(f"u_{c}").alias(c) for c in tracked],
             *[F.lit(None).cast(dim.schema[c].dataType).alias(c) for c in other_cols],
             batch_time.cast(dim.schema[valid_from].dataType).alias(valid_from),
@@ -134,8 +141,58 @@ def scd2_merge(
         )
 
     cols = dim.columns
+    if broadcast:
+        # curr preserved ⇒ _CURR is never NULL here; matched rides the
+        # update-side marker alone.
+        j = curr.join(u, on, "left_outer")
+        matched = F.col(_MATCH).isNotNull()
+        changed = matched & reduce(
+            lambda a, b: a | b,
+            [~curr[c].eqNullSafe(F.col(f"u_{c}")) for c in tracked],
+        )
+        # Brand-new keys without shuffling the dimension: semi-probe
+        # the SAME broadcast frame the left join builds (canonically
+        # identical subplan ⇒ AQE reuses one hash relation — the
+        # Merger insert-arm trick, operators/merge.py:342-370), then
+        # anti-join updates against that ≤|updates|-row key set. A
+        # NULL business key in updates never semi-matches, so it
+        # correctly falls through to a brand-new open version — the
+        # same rows the old full-outer new_key arm produced.
+        matched_keys = curr.select(*[curr[k].alias(k) for k in keys]).join(
+            u, on=reduce(
+                lambda a, b: a & b,
+                [F.col(k) == u[f"u_{k}"] for k in keys],
+            ),
+            how="left_semi",
+        )
+        brand_new = u.join(
+            F.broadcast(matched_keys),
+            on=reduce(
+                lambda a, b: a & b,
+                [u[f"u_{k}"] == matched_keys[k] for k in keys],
+            ),
+            how="left_anti",
+        )
+        return (
+            hist.select(*cols)
+            .unionByName(closed_or_carried(j, matched, changed).select(*cols))
+            .unionByName(open_versions(j.filter(changed)).select(*cols))
+            .unionByName(open_versions(brand_new).select(*cols))
+        )
+
+    # broadcast=False: ONE full-outer scan — the distribution-supplied
+    # (bucketed-layout) shape; provenance via markers, NOT key
+    # nullability: a curr row with a NULL business key is still a curr
+    # row (it just never matches).
+    j = curr.join(u, on, "full_outer")
+    matched = F.col(_MATCH).isNotNull() & curr[_CURR].isNotNull()
+    changed = matched & reduce(
+        lambda a, b: a | b,
+        [~curr[c].eqNullSafe(F.col(f"u_{c}")) for c in tracked],
+    )
+    new_key = F.col(_MATCH).isNotNull() & curr[_CURR].isNull()
     return (
         hist.select(*cols)
-        .unionByName(closed_or_carried().select(*cols))
-        .unionByName(new_versions().select(*cols))
+        .unionByName(closed_or_carried(j, matched, changed).select(*cols))
+        .unionByName(open_versions(j.filter(changed | new_key)).select(*cols))
     )

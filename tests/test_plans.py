@@ -643,3 +643,18 @@ def test_profiler_is_two_lean_passes_then_cheap_reshape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 2
     assert plan.count("Expand") == 1
+
+
+def test_scd2_broadcast_dim_never_shuffles(spark):
+    """scd2_merge(broadcast=True): a FULL OUTER join has no preserved
+    side, so Catalyst's outer-join elimination used to split its three
+    output arms into a left-outer arm (broadcast OK) and a RIGHT-outer
+    arm where build-right broadcast is unsupported — the hint silently
+    dropped and the new-versions arm sort-merge-shuffled the whole
+    dimension. The round-6 shape is three explicit broadcast joins
+    (left_outer + semi-probe + anti): the dimension is NEVER exchanged,
+    which is the 100 TB property — only the update batch broadcasts."""
+    plan = physical(spark, "scd2_versioned_merge")
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
