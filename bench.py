@@ -39,6 +39,7 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q5_bucketed",
     "tpch_q6_forecast_revenue",
+    "tpch_q6_partitioned",
     "join_shuffle_sortmerge",
     "join_bucketed_colocated",
     "join_broadcast_hash",

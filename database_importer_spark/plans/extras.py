@@ -109,7 +109,9 @@ def agg_events_rollup_partitioned(spark, sf_dir):
         "day", F.date_trunc("day", "ts").cast("date")
     )
     loc = ensure_partitioned_layout(spark, sf_dir, "events", ev, "day")
-    part = spark.read.parquet(loc).filter(
+    # explicit schema skips per-query footer + partition inference
+    # (same measured win as tpch_q6_partitioned)
+    part = spark.read.schema(ev.schema).parquet(loc).filter(
         (F.col("day") >= F.lit("2024-01-08")) & (F.col("day") <= F.lit("2024-01-14"))
     )
     cnt = F.count(F.lit(1))

@@ -75,11 +75,34 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Inferred-schema cache: schema inference re-parses the parquet
+# footer on EVERY read.parquet call — ~80 ms per call on the
+# 489-row-group sf10 lineitem (489 × 16 column-chunk entries), paid
+# by every query's construction. The schema is a pure function of
+# the file bytes, so cache it on (path, size, mtime_ns) and hand it
+# to the reader explicitly; any rewrite of the file invalidates the
+# key. At 100 TB this is what a catalog does for you — table schemas
+# resolve from metadata, not from re-reading data-file footers per
+# query.
+_SCHEMA_CACHE: dict[tuple[str, int, int], T.StructType] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in NS_TIMESTAMP_COLS:
         _ensure_nanos_readable(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return _normalize_ns_timestamps(name, spark.read.parquet(path))
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    except OSError:
+        key = None  # missing/odd path: let the reader raise its error
+    if key is not None and key in _SCHEMA_CACHE:
+        df = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
+    return _normalize_ns_timestamps(name, df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -658,3 +658,15 @@ def test_scd2_broadcast_dim_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q6_partitioned_prunes_to_queried_year(spark):
+    """tpch_q6_partitioned: the ship_year predicate must land as a
+    PartitionFilters entry on the layout scan — six of seven year
+    directories eliminated at plan time, so the scan cost tracks the
+    queried range, not the corpus. The remaining predicates still push
+    into the pruned parquet files."""
+    plan = physical(spark, "tpch_q6_partitioned")
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "ship_year" in scan and "1998" in scan
+    assert "PushedFilters" in plan or "l_discount" in plan
