@@ -427,11 +427,33 @@ class Merger:
                     cols.append(_qcol(c, "a").alias(c))
             arms.append(joined.select(*cols))
         if insert:
-            unmatched = self._hinted_source(self._data).join(
-                self._target.select(*[_qcol(k).alias(k) for k in keys]),
-                on=keys,
-                how="left_anti",
-            )
+            if self._broadcast:
+                # same two-broadcast shape as merged()'s insert arm:
+                # semi-probe target keys against the broadcast source
+                # (≤|source| rows out, target only streams), then
+                # anti against that small set — a direct anti would
+                # shuffle every target key, the exact cost this
+                # delta-output surface exists to avoid. The semi
+                # probes the SAME broadcast frame the update arm
+                # joins so AQE builds one shared hash relation.
+                matched_keys = self._target.select(
+                    *[_qcol(k).alias(k) for k in keys]
+                ).join(
+                    self._updates_frame() if update else F.broadcast(
+                        self._data.select(*[_qcol(k).alias(k) for k in keys])
+                    ),
+                    keys,
+                    "left_semi",
+                )
+                unmatched = self._data.join(
+                    F.broadcast(matched_keys), on=keys, how="left_anti"
+                )
+            else:
+                unmatched = self._hinted_source(self._data).join(
+                    self._target.select(*[_qcol(k).alias(k) for k in keys]),
+                    on=keys,
+                    how="left_anti",
+                )
             arms.append(
                 unmatched.select(
                     *[

@@ -670,3 +670,15 @@ def test_q6_partitioned_prunes_to_queried_year(spark):
     scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "ship_year" in scan and "1998" in scan
     assert "PushedFilters" in plan or "l_discount" in plan
+
+
+def test_delta_merge_target_never_shuffles(spark):
+    """upsert_merge_delta_rows: both arms stream the target through
+    broadcast hash probes — a direct source-ANTI-target would shuffle
+    every target key (the exact cost the delta-output surface exists
+    to avoid); the insert arm instead semi-probes the same broadcast
+    frame the update arm joins, then antis against that ≤|source| set."""
+    plan = physical(spark, "upsert_merge_delta_rows")
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
