@@ -110,6 +110,19 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+# Warm-path memo for the ensure_* helpers: (memo_token, sf_dir,
+# source fingerprint, args) → table name / path. Plan
+# canonicalization (a py4j analyzed-plan round trip) and catalog
+# existence checks cost ~100-150 ms per query invocation once the
+# layout exists — pure per-query constant. A call site may opt in by
+# passing a unique memo_token, PROMISING its df derivation is fixed
+# code for that token (the token stands in for the canonical plan in
+# the memo key; the content-addressed table name still guards
+# cross-process reuse on first touch). The source-file fingerprint
+# stays in the key, so a regenerated corpus invalidates.
+_ENSURE_MEMO: dict[tuple, str] = {}
+
+
 def ensure_bucketed_layout(
     spark: SparkSession,
     sf_dir: str,
@@ -118,6 +131,7 @@ def ensure_bucketed_layout(
     keys: list[str],
     buckets: int = 32,
     sort_cols: list[str] | None = None,
+    memo_token: str | None = None,
 ) -> str:
     """Build (at most once per session) a persistent bucketed copy of
     ``df`` — the projected/derived image of ``{sf_dir}/{source}.parquet``
@@ -149,6 +163,15 @@ def ensure_bucketed_layout(
     p = os.path.join(sf_dir, f"{source}.parquet")
     st = os.stat(p)
     fp = f"{st.st_size}_{st.st_mtime_ns}"
+    memo_key = None
+    if memo_token is not None:
+        memo_key = (
+            "bkt", memo_token, os.path.abspath(sf_dir), source, fp,
+            tuple(df.columns), tuple(keys), tuple(sort_cols or []), buckets,
+        )
+        hit = _ENSURE_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
     # Identify the layout by the df's full derivation, not just its
     # column names: two callers handing same-named projections with
     # different rows (one filtered, one not) must get DIFFERENT
@@ -170,13 +193,19 @@ def ensure_bucketed_layout(
         c if c.isalnum() else "_" for c in os.path.abspath(sf_dir)
     ).lower()
     table = f"dbis_bkt_{source}_{dir_tag}_{fp}_{shape_tag}"
+
+    def done(name):
+        if memo_key is not None:
+            _ENSURE_MEMO[memo_key] = name
+        return name
+
     if spark.catalog.tableExists(table):
-        return table
+        return done(table)
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     loc = os.path.join(wh, table)
     with _layout_lock(loc):
         if spark.catalog.tableExists(table):
-            return table
+            return done(table)
         if os.path.exists(os.path.join(loc, "_SUCCESS")):
             # Another process already built this exact layout (the
             # name is content-addressed); adopt it by registering the
@@ -190,11 +219,11 @@ def ensure_bucketed_layout(
                 f"SORTED BY ({sort_clause}) INTO {buckets} BUCKETS "
                 f"LOCATION '{loc}'"
             )
-            return table
+            return done(table)
         if os.path.exists(loc):  # crashed half-write: safe under the lock
             shutil.rmtree(loc, ignore_errors=True)
         write_bucketed(df, table, keys, buckets=buckets, sort_cols=sort_cols)
-    return table
+    return done(table)
 
 
 def ensure_partitioned_layout(
@@ -205,6 +234,7 @@ def ensure_partitioned_layout(
     part_col: str,
     files_per_partition: int = 1,
     cluster_col: str | None = None,
+    memo_token: str | None = None,
 ) -> str:
     """Build (at most once per corpus) a persistent copy of ``df``
     hive-partitioned on ``part_col`` (a low-cardinality derived
@@ -249,6 +279,15 @@ def ensure_partitioned_layout(
     p = os.path.join(sf_dir, f"{source}.parquet")
     st = os.stat(p)
     fp = f"{st.st_size}_{st.st_mtime_ns}"
+    memo_key = None
+    if memo_token is not None:
+        memo_key = (
+            "part", memo_token, os.path.abspath(sf_dir), source, fp,
+            tuple(df.columns), part_col, files_per_partition, cluster_col,
+        )
+        hit = _ENSURE_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
     plan_str = df._jdf.queryExecution().analyzed().toString()
     canonical = re.sub(r"#\d+L?", "#", plan_str)
     shape = (
@@ -264,11 +303,17 @@ def ensure_partitioned_layout(
     ).lower()
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     loc = os.path.join(wh, f"dbis_part_{source}_{dir_tag}_{fp}_{shape_tag}")
+
+    def done(path):
+        if memo_key is not None:
+            _ENSURE_MEMO[memo_key] = path
+        return path
+
     if os.path.exists(os.path.join(loc, "_SUCCESS")):
-        return loc
+        return done(loc)
     with _layout_lock(loc):
         if os.path.exists(os.path.join(loc, "_SUCCESS")):
-            return loc  # a peer finished the build while we waited
+            return done(loc)  # a peer finished the build while we waited
         if os.path.exists(loc):  # crashed half-write: safe under the lock
             shutil.rmtree(loc, ignore_errors=True)
         if cluster_col is not None:
@@ -301,7 +346,7 @@ def ensure_partitioned_layout(
             .partitionBy(part_col)
             .parquet(loc)
         )
-    return loc
+    return done(loc)
 
 
 def bucketed_join(

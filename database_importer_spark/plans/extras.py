@@ -108,7 +108,9 @@ def agg_events_rollup_partitioned(spark, sf_dir):
     ev = t(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", "ts").cast("date")
     )
-    loc = ensure_partitioned_layout(spark, sf_dir, "events", ev, "day")
+    loc = ensure_partitioned_layout(
+        spark, sf_dir, "events", ev, "day", memo_token="events_day_rollup"
+    )
     # explicit schema skips per-query footer + partition inference
     # (same measured win as tpch_q6_partitioned)
     part = spark.read.schema(ev.schema).parquet(loc).filter(

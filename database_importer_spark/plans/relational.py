@@ -42,6 +42,7 @@ def orderkey_bucketed_facts(spark, sf_dir, buckets: int = 32):
         ),
         ["l_orderkey"],
         buckets=buckets,
+        memo_token="orderkey_facts_lineitem",
     )
     ot = ensure_bucketed_layout(
         spark,
@@ -60,6 +61,7 @@ def orderkey_bucketed_facts(spark, sf_dir, buckets: int = 32):
         ),
         ["o_orderkey"],
         buckets=buckets,
+        memo_token="orderkey_facts_orders",
     )
     return lt, ot
 
@@ -489,6 +491,7 @@ def join_asof_nearest(spark, sf_dir):
     table = ensure_bucketed_layout(
         spark, sf_dir, "events", both, ["user_id"],
         sort_cols=["user_id", "__asof_ts", "__asof_side", "__asof_tie"],
+        memo_token="asof_tagged_events",
     )
     out = asof_fill(
         spark.table(table), on=["user_id"], payload=["purchase_ts", "purchase_value"]

@@ -368,6 +368,7 @@ def tpch_q6_partitioned(spark, sf_dir):
     loc = ensure_partitioned_layout(
         spark, sf_dir, "lineitem", li, "ship_year",
         files_per_partition=32, cluster_col="l_shipdate",
+        memo_token="q6_shipyear_lineitem",
     )
     # explicit schema (known from the layout's own derivation) skips
     # per-query footer reads + partition-type inference — measured

@@ -84,6 +84,7 @@ def win_rank_topk_bucketed(spark, sf_dir):
     table = ensure_bucketed_layout(
         spark, sf_dir, "orders", o, ["o_custkey"],
         sort_cols=["o_custkey", "__neg_price", "o_orderkey"],
+        memo_token="rank_topk_orders",
     )
     ob = spark.table(table)
     w = Window.partitionBy("o_custkey").orderBy("__neg_price", "o_orderkey")
@@ -187,6 +188,7 @@ def win_running_sum_bucketed(spark, sf_dir):
     table = ensure_bucketed_layout(
         spark, sf_dir, "orders", o, ["o_custkey"],
         sort_cols=["o_custkey", "o_orderdate", "o_orderkey"],
+        memo_token="running_sum_orders",
     )
     ob = spark.table(table)
     w = (
