@@ -116,10 +116,16 @@ def write_bucketed(
 # existence checks cost ~100-150 ms per query invocation once the
 # layout exists — pure per-query constant. A call site may opt in by
 # passing a unique memo_token, PROMISING its df derivation is fixed
-# code for that token (the token stands in for the canonical plan in
-# the memo key; the content-addressed table name still guards
-# cross-process reuse on first touch). The source-file fingerprint
-# stays in the key, so a regenerated corpus invalidates.
+# code for that token (the token stands in for the canonical plan AND
+# the column set in the memo key; the content-addressed table name
+# still guards cross-process reuse on first touch). The source-file
+# fingerprint stays in the key, so a regenerated corpus invalidates.
+#
+# Call sites with a memo_token should pass ``df`` as a ZERO-ARG
+# CALLABLE returning the DataFrame: constructing the source df is
+# itself ~30-70 ms of py4j round trips (reader + projection), and the
+# warm path never needs it — the factory is invoked only on a memo
+# miss.
 _ENSURE_MEMO: dict[tuple, str] = {}
 
 
@@ -127,7 +133,7 @@ def ensure_bucketed_layout(
     spark: SparkSession,
     sf_dir: str,
     source: str,
-    df: DataFrame,
+    df,  # DataFrame, or zero-arg factory () -> DataFrame (see memo note)
     keys: list[str],
     buckets: int = 32,
     sort_cols: list[str] | None = None,
@@ -165,13 +171,17 @@ def ensure_bucketed_layout(
     fp = f"{st.st_size}_{st.st_mtime_ns}"
     memo_key = None
     if memo_token is not None:
+        # the token stands in for the df's derivation (incl. columns),
+        # so the warm path runs without materializing the df at all
         memo_key = (
             "bkt", memo_token, os.path.abspath(sf_dir), source, fp,
-            tuple(df.columns), tuple(keys), tuple(sort_cols or []), buckets,
+            tuple(keys), tuple(sort_cols or []), buckets,
         )
         hit = _ENSURE_MEMO.get(memo_key)
         if hit is not None:
             return hit
+    if callable(df):
+        df = df()
     # Identify the layout by the df's full derivation, not just its
     # column names: two callers handing same-named projections with
     # different rows (one filtered, one not) must get DIFFERENT
@@ -230,7 +240,7 @@ def ensure_partitioned_layout(
     spark: SparkSession,
     sf_dir: str,
     source: str,
-    df: DataFrame,
+    df,  # DataFrame, or zero-arg factory () -> DataFrame (see memo note)
     part_col: str,
     files_per_partition: int = 1,
     cluster_col: str | None = None,
@@ -283,11 +293,13 @@ def ensure_partitioned_layout(
     if memo_token is not None:
         memo_key = (
             "part", memo_token, os.path.abspath(sf_dir), source, fp,
-            tuple(df.columns), part_col, files_per_partition, cluster_col,
+            part_col, files_per_partition, cluster_col,
         )
         hit = _ENSURE_MEMO.get(memo_key)
         if hit is not None:
             return hit
+    if callable(df):
+        df = df()
     plan_str = df._jdf.queryExecution().analyzed().toString()
     canonical = re.sub(r"#\d+L?", "#", plan_str)
     shape = (
@@ -347,6 +359,32 @@ def ensure_partitioned_layout(
             .parquet(loc)
         )
     return done(loc)
+
+
+# Leaf-scan cache for partitioned layouts: creating a path-based
+# reader re-runs partition DISCOVERY (directory listing + partition
+# value parsing over N files) on EVERY call — ~40 ms on a 224-file
+# layout, pure per-query constant. A catalog caches exactly this (its
+# file index); the loc is content-addressed (source fingerprint in
+# the name), so a regenerated corpus produces a new loc and the stale
+# entry is simply never hit again. Only the LEAF DataFrame is cached
+# — per-query filters/projections still build per call — and layout
+# consumers never self-join the layout, so shared expression ids are
+# safe. Keyed by the owning session (child sessions have their own
+# SQLConf; a DataFrame is bound to the session that created it).
+_LAYOUT_READER_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def read_partitioned_layout(spark: SparkSession, loc: str, schema) -> DataFrame:
+    """Path-based read of an ensure_partitioned_layout output with an
+    explicit schema (skips footer + partition-type inference) and a
+    per-session leaf cache (skips per-call partition discovery)."""
+    key = (id(spark), loc)
+    df = _LAYOUT_READER_CACHE.get(key)
+    if df is None:
+        df = spark.read.schema(schema).parquet(loc)
+        _LAYOUT_READER_CACHE[key] = df
+    return df
 
 
 def bucketed_join(

@@ -36,7 +36,7 @@ def orderkey_bucketed_facts(spark, sf_dir, buckets: int = 32):
         spark,
         sf_dir,
         "lineitem",
-        t(spark, sf_dir, "lineitem").select(
+        lambda: t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate",
             "l_suppkey", "l_quantity",
         ),
@@ -51,7 +51,7 @@ def orderkey_bucketed_facts(spark, sf_dir, buckets: int = 32):
         # the FULL orders schema: upsert_merge_bucketed merges onto
         # this layout and returns every target column; the rollup/Q3/
         # Q5 consumers still read only their 2-3 columns via pruning
-        t(spark, sf_dir, "orders").select(
+        lambda: t(spark, sf_dir, "orders").select(
             "o_orderkey",
             "o_custkey",
             "o_orderstatus",
@@ -474,20 +474,23 @@ def join_asof_nearest(spark, sf_dir):
     )
 
     spark = static_plan_session(spark)
-    ev = t(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    is_p = F.col("event_type") == "purchase"
-    both = ev.select(
-        F.when(~is_p, F.col("event_id")).alias("event_id"),
-        "user_id",
-        F.when(~is_p, F.col("ts")).alias("ts"),
-        F.col("ts").alias("__asof_ts"),
-        F.when(is_p, F.lit(0)).otherwise(F.lit(1)).alias("__asof_side"),
-        F.when(is_p, F.col("event_id")).alias("__asof_tie"),
-        F.when(is_p, F.col("ts")).alias("purchase_ts"),
-        F.when(is_p, F.col("value")).alias("purchase_value"),
-    )
+
+    def both():
+        ev = t(spark, sf_dir, "events").filter(
+            F.col("event_type").isin("click", "purchase")
+        )
+        is_p = F.col("event_type") == "purchase"
+        return ev.select(
+            F.when(~is_p, F.col("event_id")).alias("event_id"),
+            "user_id",
+            F.when(~is_p, F.col("ts")).alias("ts"),
+            F.col("ts").alias("__asof_ts"),
+            F.when(is_p, F.lit(0)).otherwise(F.lit(1)).alias("__asof_side"),
+            F.when(is_p, F.col("event_id")).alias("__asof_tie"),
+            F.when(is_p, F.col("ts")).alias("purchase_ts"),
+            F.when(is_p, F.col("value")).alias("purchase_value"),
+        )
+
     table = ensure_bucketed_layout(
         spark, sf_dir, "events", both, ["user_id"],
         sort_cols=["user_id", "__asof_ts", "__asof_side", "__asof_tie"],

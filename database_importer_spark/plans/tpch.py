@@ -33,6 +33,12 @@ def REV_SUM():
 
 REV_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))"
 
+# q6-partitioned layout read schema, keyed by layout loc (loc is
+# content-addressed on the source fingerprint, so regeneration
+# invalidates) — lets warm calls skip rebuilding the layout's source
+# frame just to ask for .schema.
+_Q6_LAYOUT_SCHEMA: dict[str, object] = {}
+
 
 @declare(
     "tpch_q3_shipping_priority",
@@ -355,12 +361,16 @@ def tpch_q6_partitioned(spark, sf_dir):
     family."""
     from database_importer_spark.operators.partitioning import (
         ensure_partitioned_layout,
+        read_partitioned_layout,
     )
 
     spark = static_plan_session(spark)
-    li = t(spark, sf_dir, "lineitem").withColumn(
-        "ship_year", F.year("l_shipdate")
-    )
+
+    def li():
+        return t(spark, sf_dir, "lineitem").withColumn(
+            "ship_year", F.year("l_shipdate")
+        )
+
     # 32 range-clustered files per year: one file per value would
     # leave the pruned year ~3 row groups = ~3 tasks; shipdate
     # clustering keeps encodings tight and page stats sharp (a hash
@@ -373,8 +383,13 @@ def tpch_q6_partitioned(spark, sf_dir):
     # explicit schema (known from the layout's own derivation) skips
     # per-query footer reads + partition-type inference — measured
     # 309→189 ms at sf10; a catalog table was probed SLOWER (217 ms,
-    # metastore partition pruning overhead).
-    part = spark.read.schema(li.schema).parquet(loc).filter(
+    # metastore partition pruning overhead). Cached per layout loc
+    # (content-addressed) so warm calls also skip building li.
+    schema = _Q6_LAYOUT_SCHEMA.get(loc)
+    if schema is None:
+        schema = li().schema
+        _Q6_LAYOUT_SCHEMA[loc] = schema
+    part = read_partitioned_layout(spark, loc, schema).filter(
         (F.col("ship_year") == 1998)
         & (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))

@@ -75,14 +75,15 @@ def win_rank_topk_bucketed(spark, sf_dir):
     )
 
     spark = static_plan_session(spark)
-    o = t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        "o_totalprice",
-        (-F.col("o_totalprice")).alias("__neg_price"),
-    )
     table = ensure_bucketed_layout(
-        spark, sf_dir, "orders", o, ["o_custkey"],
+        spark, sf_dir, "orders",
+        lambda: t(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            (-F.col("o_totalprice")).alias("__neg_price"),
+        ),
+        ["o_custkey"],
         sort_cols=["o_custkey", "__neg_price", "o_orderkey"],
         memo_token="rank_topk_orders",
     )
@@ -182,11 +183,12 @@ def win_running_sum_bucketed(spark, sf_dir):
     )
 
     spark = static_plan_session(spark)
-    o = t(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
-    )
     table = ensure_bucketed_layout(
-        spark, sf_dir, "orders", o, ["o_custkey"],
+        spark, sf_dir, "orders",
+        lambda: t(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        ),
+        ["o_custkey"],
         sort_cols=["o_custkey", "o_orderdate", "o_orderkey"],
         memo_token="running_sum_orders",
     )

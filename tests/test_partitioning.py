@@ -197,3 +197,76 @@ def test_static_plan_session_shares_context_and_confs(spark):
         child.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
         == "true"
     )
+
+
+def test_ensure_layout_factory_not_invoked_on_memo_hit(spark, sf_dir):
+    """With a memo_token, the warm path returns the memoized layout
+    WITHOUT building the source DataFrame (the factory is invoked only
+    on a memo miss) — the ~30-70 ms py4j construction cost is paid
+    once per process, not per query."""
+    from database_importer_spark.operators.partitioning import (
+        ensure_bucketed_layout,
+        ensure_partitioned_layout,
+    )
+    from database_importer_spark.sources.loader import load_table
+
+    calls = {"bkt": 0, "part": 0}
+
+    def bkt_df():
+        calls["bkt"] += 1
+        return load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+
+    t1 = ensure_bucketed_layout(
+        spark, sf_dir, "orders", bkt_df, ["o_orderkey"], buckets=4,
+        memo_token="test_factory_bkt",
+    )
+    t2 = ensure_bucketed_layout(
+        spark, sf_dir, "orders", bkt_df, ["o_orderkey"], buckets=4,
+        memo_token="test_factory_bkt",
+    )
+    assert t1 == t2
+    assert calls["bkt"] == 1  # warm call never touched the factory
+
+    def part_df():
+        calls["part"] += 1
+        return load_table(spark, sf_dir, "events").withColumn(
+            "day", F.date_trunc("day", "ts").cast("date")
+        )
+
+    p1 = ensure_partitioned_layout(
+        spark, sf_dir, "events", part_df, "day",
+        memo_token="test_factory_part",
+    )
+    p2 = ensure_partitioned_layout(
+        spark, sf_dir, "events", part_df, "day",
+        memo_token="test_factory_part",
+    )
+    assert p1 == p2
+    assert calls["part"] == 1
+
+
+def test_read_partitioned_layout_caches_leaf_per_session(spark, sf_dir):
+    """read_partitioned_layout returns the cached leaf scan for the
+    same (session, loc) — partition discovery runs once — and a
+    different session gets its OWN DataFrame (a df is bound to the
+    session that created it)."""
+    from database_importer_spark.operators.partitioning import (
+        ensure_partitioned_layout,
+        read_partitioned_layout,
+    )
+    from database_importer_spark.session import static_plan_session
+    from database_importer_spark.sources.loader import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    loc = ensure_partitioned_layout(spark, sf_dir, "events", ev, "day")
+    d1 = read_partitioned_layout(spark, loc, ev.schema)
+    d2 = read_partitioned_layout(spark, loc, ev.schema)
+    assert d1 is d2
+    child = static_plan_session(spark)
+    d3 = read_partitioned_layout(child, loc, ev.schema)
+    assert d3 is not d1
+    assert d1.count() == d3.count() == ev.count()
