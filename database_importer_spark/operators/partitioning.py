@@ -387,6 +387,23 @@ def read_partitioned_layout(spark: SparkSession, loc: str, schema) -> DataFrame:
     return df
 
 
+def partitioned_layout_view(spark: SparkSession, loc: str, schema) -> str:
+    """Temp-view name over the cached partitioned-layout leaf, for
+    declared plans written as a single ``spark.sql`` call (the
+    DataFrame filter+agg chain costs ~50-80 ms of py4j round trips
+    per invocation; the SQL form ~25 ms). Registered once per
+    (session, loc); the loc is content-addressed so a regenerated
+    corpus gets a fresh view name."""
+    import hashlib
+
+    vname = "dbis_vpart_" + hashlib.md5(loc.encode()).hexdigest()[:10]
+    key = (id(spark), vname)
+    if key not in _LAYOUT_READER_CACHE:
+        read_partitioned_layout(spark, loc, schema).createOrReplaceTempView(vname)
+        _LAYOUT_READER_CACHE[key] = True  # sentinel: view registered
+    return vname
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: list[str], how="inner"
 ) -> DataFrame:

@@ -106,7 +106,7 @@ def agg_events_rollup_partitioned(spark, sf_dir):
     static-plan session."""
     from database_importer_spark.operators.partitioning import (
         ensure_partitioned_layout,
-        read_partitioned_layout,
+        partitioned_layout_view,
     )
     from database_importer_spark.session import static_plan_session
 
@@ -127,29 +127,22 @@ def agg_events_rollup_partitioned(spark, sf_dir):
     if schema is None:
         schema = ev().schema
         _EV_LAYOUT_SCHEMA[loc] = schema
-    part = read_partitioned_layout(spark, loc, schema).filter(
-        (F.col("day") >= F.lit("2024-01-08")) & (F.col("day") <= F.lit("2024-01-14"))
-    )
-    cnt = F.count(F.lit(1))
-    return (
-        part.groupBy("event_type", "day")
-        .agg(
-            cnt.alias("n_events"),
-            dec4_sum(F.col("value")).alias("sum_value"),
-            (dec4_sum(F.col("value")) / cnt).alias("avg_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-        .select(
-            "event_type",
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "n_events",
-            "sum_value",
-            "avg_value",
-            "min_value",
-            "max_value",
-        )
-    )
+    from database_importer_spark.plans.registry import dec4_sum_sql
+
+    v = partitioned_layout_view(spark, loc, schema)
+    d4 = dec4_sum_sql("value")
+    return spark.sql(f"""
+        SELECT event_type,
+               DATE_FORMAT(day, 'yyyy-MM-dd') AS day,
+               COUNT(*) AS n_events,
+               {d4} AS sum_value,
+               {d4} / COUNT(*) AS avg_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM {v}
+        WHERE day >= DATE '2024-01-08' AND day <= DATE '2024-01-14'
+        GROUP BY event_type, day
+    """)
 
 
 @declare(

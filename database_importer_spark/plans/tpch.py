@@ -116,30 +116,34 @@ def tpch_q3_bucketed(spark, sf_dir):
     tests/test_plans.py (no Exchange node at all).
 
     Zero-wide-exchange shape → static-plan session (AQE staging cost
-    only, nothing to adapt; −95 ms at sf0.1, tools/probe_floor.py)."""
+    only, nothing to adapt; −95 ms at sf0.1, tools/probe_floor.py).
+    Declared as ONE spark.sql call (r6): the equivalent DataFrame
+    chain costs ~150 ms of per-invocation py4j round trips, the SQL
+    form ~40 ms — same physical plan, bit-equal output."""
     from database_importer_spark.plans.relational import (
         orderkey_bucketed_facts,
     )
+    from database_importer_spark.plans.registry import dec4_sum_sql, sql_view
 
     spark = static_plan_session(spark)
     lt, ot = orderkey_bucketed_facts(spark, sf_dir)
-    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = spark.table(ot).filter(
-        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp")
-    )
-    l = spark.table(lt).filter(
-        F.col("l_shipdate") > F.lit("1999-03-15").cast("timestamp")
-    )
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .hint("merge")
-        .join(l.hint("merge"), l.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(REV_SUM().alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.col("revenue").desc(), "l_orderkey")
-        .limit(10)
-    )
+    vc = sql_view(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(c), MERGE(o), MERGE(l) */
+               l.l_orderkey,
+               {dec4_sum_sql('l.l_extendedprice * (1 - l.l_discount)')}
+                   AS revenue,
+               o.o_orderdate
+        FROM {ot} o
+        JOIN {vc} c
+          ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+        JOIN {lt} l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < TIMESTAMP '1999-03-15'
+          AND l.l_shipdate > TIMESTAMP '1999-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """)
 
 
 @declare(
@@ -260,36 +264,42 @@ def tpch_q5_bucketed(spark, sf_dir):
     Measured sf10: 1990 ms unbucketed → see BASELINE.md (the date
     filter on orders still pushes into the bucketed parquet scan).
     Broadcasts + one 5-row exchange = fixed shape → static-plan
-    session (tools/probe_floor.py)."""
+    session (tools/probe_floor.py). Declared as ONE spark.sql call
+    (r6): the equivalent six-way DataFrame chain costs ~195 ms of
+    per-invocation py4j round trips, the SQL form ~43 ms — same
+    physical plan (1 SMJ, 1 exchange, 0 sorts), bit-equal output."""
     from database_importer_spark.plans.relational import (
         orderkey_bucketed_facts,
     )
+    from database_importer_spark.plans.registry import dec4_sum_sql, sql_view
 
     spark = static_plan_session(spark)
     lt, ot = orderkey_bucketed_facts(spark, sf_dir)
-    o = spark.table(ot).filter(
-        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
-    )
-    l = spark.table(lt)
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    asia_supp = F.broadcast(
-        s.join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, F.col("n_regionkey") == r.r_regionkey)
-        .select("s_suppkey", "s_nationkey", "n_name")
-    )
-    l_pruned = l.join(asia_supp, l.l_suppkey == F.col("s_suppkey"))
-    return (
-        l_pruned.hint("merge")
-        .join(o.hint("merge"), l_pruned.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .groupBy("n_name")
-        .agg(REV_SUM().alias("revenue"))
-    )
+    vs = sql_view(spark, sf_dir, "supplier")
+    vn = sql_view(spark, sf_dir, "nation")
+    vr = sql_view(spark, sf_dir, "region")
+    vc = sql_view(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(asia), BROADCAST(c), MERGE(l), MERGE(o) */
+               asia.n_name AS n_name,
+               {dec4_sum_sql('l.l_extendedprice * (1 - l.l_discount)')}
+                   AS revenue
+        FROM {lt} l
+        JOIN (SELECT s_suppkey, s_nationkey, n_name
+              FROM {vs} s
+              JOIN {vn} n ON s.s_nationkey = n.n_nationkey
+              JOIN {vr} r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'ASIA') asia
+          ON l.l_suppkey = asia.s_suppkey
+        JOIN {ot} o
+          ON l.l_orderkey = o.o_orderkey
+         AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+         AND o.o_orderdate < TIMESTAMP '1999-01-01'
+        JOIN (SELECT c_custkey, c_nationkey FROM {vc}) c
+          ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey = asia.s_nationkey
+        GROUP BY asia.n_name
+    """)
 
 
 @declare(
@@ -361,7 +371,7 @@ def tpch_q6_partitioned(spark, sf_dir):
     family."""
     from database_importer_spark.operators.partitioning import (
         ensure_partitioned_layout,
-        read_partitioned_layout,
+        partitioned_layout_view,
     )
 
     spark = static_plan_session(spark)
@@ -389,17 +399,19 @@ def tpch_q6_partitioned(spark, sf_dir):
     if schema is None:
         schema = li().schema
         _Q6_LAYOUT_SCHEMA[loc] = schema
-    part = read_partitioned_layout(spark, loc, schema).filter(
-        (F.col("ship_year") == 1998)
-        & (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
-        & F.col("l_discount").between(0.05, 0.07)
-        & (F.col("l_quantity") < 24)
-    )
-    return part.agg(
-        dec4_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
+    from database_importer_spark.plans.registry import dec4_sum_sql
+
+    v = partitioned_layout_view(spark, loc, schema)
+    return spark.sql(f"""
+        SELECT {dec4_sum_sql('l_extendedprice * l_discount')} AS revenue,
+               COUNT(*) AS n_items
+        FROM {v}
+        WHERE ship_year = 1998
+          AND l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """)
 
 
 @declare(
