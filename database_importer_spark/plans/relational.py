@@ -543,26 +543,26 @@ def agg_hash_groupby(spark, sf_dir):
     makes this oracle-checkable AND cluster-deterministic).
     Scan → partial agg → 6-row exchange → final agg is a fixed shape
     with nothing for AQE to re-plan → static-plan session (measured
-    0.81→0.68 s at sf10)."""
+    0.81→0.68 s at sf10). Declared as ONE spark.sql call (r6): the
+    dec4 DataFrame chain costs ~100-200 ms of per-invocation py4j
+    round trips; same physical plan, bit-equal output."""
+    from database_importer_spark.plans.registry import dec4_sum_sql, sql_view
+
     spark = static_plan_session(spark)
-    li = t(spark, sf_dir, "lineitem")
-
-    def dsum(c):
-        return dec4_sum(F.col(c))
-
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dec4_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("sum_disc_price"),
-            (dec4_sum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
+    v = sql_view(spark, sf_dir, "lineitem")
+    dq = dec4_sum_sql("l_quantity")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               {dq} AS sum_qty,
+               {dec4_sum_sql('l_extendedprice')} AS sum_base_price,
+               {dec4_sum_sql('l_extendedprice * (1 - l_discount)')}
+                   AS sum_disc_price,
+               {dq} / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM {v}
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """)
 
 
 @declare(
@@ -599,31 +599,28 @@ def agg_hash_groupby_double(spark, sf_dir):
     integer-valued doubles; both end at the identical IEEE quotient
     after /100. Measured sf10: 0.88 s ≈ the plain-double floor, vs
     5.76 s decimal — the oracle tax fully refunded. Fixed shape →
-    static-plan session."""
+    static-plan session. Declared as ONE spark.sql call (r6): the
+    DataFrame chain costs ~100-300 ms of per-invocation py4j round
+    trips; same physical plan, bit-equal output."""
+    from database_importer_spark.plans.registry import sql_view
+
     spark = static_plan_session(spark)
-    li = t(spark, sf_dir, "lineitem")
-    half = F.lit(0.5)
+    v = sql_view(spark, sf_dir, "lineitem")
 
-    def csum(col):
-        return F.sum(F.floor(col * 100 + half)) / 100
+    def csum(expr):
+        return f"SUM(FLOOR(({expr}) * 100 + 0.5)) / 100"
 
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            csum(F.col("l_quantity")).alias("sum_qty"),
-            csum(F.col("l_extendedprice")).alias("sum_base_price"),
-            csum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            (
-                F.sum(F.floor(F.col("l_quantity") * 100 + half))
-                / 100
-                / F.count(F.lit(1))
-            ).alias("avg_qty"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               {csum('l_quantity')} AS sum_qty,
+               {csum('l_extendedprice')} AS sum_base_price,
+               {csum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {csum('l_quantity')} / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM {v}
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """)
 
 
 @declare(

@@ -32,18 +32,21 @@ def win_rank_topk_per_group(spark, sf_dir):
     partition key, per-group sort only (never a global sort). At
     100 TB this is the canonical 'top 3 orders per customer' plan.
     One exchange + per-group sort = fixed shape → static-plan
-    session (tools/probe_floor.py)."""
+    session (tools/probe_floor.py). Declared as ONE spark.sql call
+    (r6, py4j-constant shave); the rn <= 3 filter still plans as
+    WindowGroupLimit pushed below the exchange."""
+    from database_importer_spark.plans.registry import sql_view
+
     spark = static_plan_session(spark)
-    o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        o.select(
-            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
-        )
-        .filter(F.col("rn") <= 3)
-    )
+    v = sql_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM {v}
+        ) WHERE rn <= 3
+    """)
 
 
 @declare(
