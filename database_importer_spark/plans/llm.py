@@ -507,7 +507,11 @@ def llm_dedup_embedding(spark, sf_dir):
 def llm_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-3 for 5 query vectors: queries
     broadcast, corpus scanned once, per-query top-k window — the
-    exact ANN baseline (and the verify stage for the LSH variant)."""
+    exact ANN baseline (and the verify stage for the LSH variant).
+    Stays on the HOF fold: a fully-unrolled 64-term dot (see
+    similarity.unrolled_dot) measured 19.3 s vs 3.5 s at sf10 — the
+    ~320-term generated method exceeds HotSpot's JIT method limit and
+    runs bytecode-interpreted, slower than the JIT-hot fold loop."""
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return S.cosine_topk(e, q, "vec_id", "embedding", k=3)
