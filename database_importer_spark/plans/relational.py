@@ -645,15 +645,23 @@ def agg_count_distinct(spark, sf_dir):
     shuffle scales with distinct pairs, not corpus rows. Plan test:
     test_plans.test_count_distinct_has_no_expand. At scale prefer
     approx_count_distinct unless exactness is required (see
-    agg_approx_distinct)."""
-    o = t(spark, sf_dir, "orders")
-    pre = o.groupBy("o_orderpriority", "o_custkey").agg(
-        F.count(F.lit(1)).alias("__orders_per_pair")
-    )
-    return pre.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.sum("__orders_per_pair").cast("bigint").alias("n_orders"),
-    )
+    agg_approx_distinct). Single spark.sql declaration (r6
+    py4j-constant shave); same two-level physical plan."""
+    from database_importer_spark.plans.registry import sql_view
+
+    spark = static_plan_session(spark)
+    v = sql_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_customers,
+               CAST(SUM(__orders_per_pair) AS BIGINT) AS n_orders
+        FROM (
+            SELECT o_orderpriority, o_custkey, COUNT(*) AS __orders_per_pair
+            FROM {v}
+            GROUP BY o_orderpriority, o_custkey
+        )
+        GROUP BY o_orderpriority
+    """)
 
 
 @declare(

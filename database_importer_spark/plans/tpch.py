@@ -58,23 +58,29 @@ _Q6_LAYOUT_SCHEMA: dict[str, object] = {}
 )
 def tpch_q3(spark, sf_dir):
     """Q3: top unshipped orders by revenue for one segment. Fact⨝fact
-    on orderkey; the filtered customer side reduces before joining."""
-    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp")
-    )
-    l = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1999-03-15").cast("timestamp")
-    )
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(REV_SUM().alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.col("revenue").desc(), "l_orderkey")
-        .limit(10)
-    )
+    on orderkey; the filtered customer side reduces before joining.
+    Single spark.sql declaration (r6 py4j-constant shave); same
+    physical plan."""
+    from database_importer_spark.plans.registry import dec4_sum_sql, sql_view
+
+    vc = sql_view(spark, sf_dir, "customer")
+    vo = sql_view(spark, sf_dir, "orders")
+    vl = sql_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l.l_orderkey,
+               {dec4_sum_sql('l.l_extendedprice * (1 - l.l_discount)')}
+                   AS revenue,
+               o.o_orderdate
+        FROM {vc} c
+        JOIN {vo} o ON c.c_custkey = o.o_custkey
+        JOIN {vl} l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1999-03-15'
+          AND l.l_shipdate > TIMESTAMP '1999-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """)
 
 
 @declare(
@@ -205,29 +211,36 @@ def tpch_q5(spark, sf_dir):
     selectivity upstream of it; this is manual join reordering that a
     CBO with stats would find, stated explicitly since we run without
     table stats). The c_nationkey = s_nationkey residual applies after
-    the customer join as a plain filter."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
-    )
-    l = t(spark, sf_dir, "lineitem")
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    asia_supp = F.broadcast(
-        s.join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, F.col("n_regionkey") == r.r_regionkey)
-        .select("s_suppkey", "s_nationkey", "n_name")
-    )
-    l_pruned = l.join(asia_supp, l.l_suppkey == F.col("s_suppkey"))
-    return (
-        l_pruned.join(o, l_pruned.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .groupBy("n_name")
-        .agg(REV_SUM().alias("revenue"))
-    )
+    the customer join as a plain filter. Single spark.sql declaration
+    (r6 py4j-constant shave); same physical plan."""
+    from database_importer_spark.plans.registry import dec4_sum_sql, sql_view
+
+    vs = sql_view(spark, sf_dir, "supplier")
+    vn = sql_view(spark, sf_dir, "nation")
+    vr = sql_view(spark, sf_dir, "region")
+    vc = sql_view(spark, sf_dir, "customer")
+    vo = sql_view(spark, sf_dir, "orders")
+    vl = sql_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(asia), BROADCAST(c) */
+               asia.n_name AS n_name,
+               {dec4_sum_sql('l.l_extendedprice * (1 - l.l_discount)')}
+                   AS revenue
+        FROM {vl} l
+        JOIN (SELECT s_suppkey, s_nationkey, n_name
+              FROM {vs} s
+              JOIN {vn} n ON s.s_nationkey = n.n_nationkey
+              JOIN {vr} r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'ASIA') asia
+          ON l.l_suppkey = asia.s_suppkey
+        JOIN {vo} o
+          ON l.l_orderkey = o.o_orderkey
+         AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+         AND o.o_orderdate < TIMESTAMP '1999-01-01'
+        JOIN {vc} c ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey = asia.s_nationkey
+        GROUP BY asia.n_name
+    """)
 
 
 @declare(
