@@ -99,7 +99,20 @@ def get_spark(
         # epoch); the loader truncates them to µs timestamps — the
         # same truncation DuckDB applies, so oracles agree.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # single-JVM heap for local mode (a real cluster sets executor
+        # memory explicitly). r6 cross-process A/B at sf10 (min-of-5
+        # per invocation, alternated, tools/probe_heap.py): 16g wins
+        # 7-12% on scan/shuffle keys over 8g (q3 1.52->1.39 s,
+        # q5_bucketed 611->539 ms, rank-topk 711->662, groupby_double
+        # 581->542, merge ~3%) — less spill pressure per task share.
+        # BIGGER IS NOT BETTER: 48g is a measured NEGATIVE on the
+        # largest shuffle (join_shuffle_sortmerge min 4.4->11.4 s,
+        # runs to 91 s — GC churn on huge sorter arrays + loss of
+        # compressed oops above ~32g); 16g stays in the compressed-
+        # oops range and showed no such storms. GC flavor (G1 vs
+        # ParallelGC) A/B'd inconclusive at <=16g — host-stall noise
+        # dominates; JVM-default G1 kept.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # the oracle harness legitimately collects full query outputs
         # (toPandas) to diff against DuckDB — at sf10 a map-only key's
         # 60M-row result serializes past the 1g default cap. Engine
@@ -110,8 +123,13 @@ def get_spark(
         )
         # keep managed-table data (bucketed layouts) out of the repo
         .config("spark.sql.warehouse.dir", "/tmp/dbis_warehouse")
+        # SPARK_GRAFT_JAVA_OPTS lets cross-process probes A/B JVM-level
+        # flags (GC choice, heap geometry) that cannot change inside a
+        # live session; empty by default.
         .config(
-            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/dbis_derby"
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/dbis_derby "
+            + os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
