@@ -134,6 +134,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # Off-heap Tungsten memory (sort/agg/shuffle buffers outside the
+    # GC'd heap) — the standard mitigation when big-shuffle sorter
+    # arrays churn the collector. Env-gated for cross-process A/Bs:
+    # SPARK_GRAFT_OFFHEAP=16g enables it at that size.
+    offheap = os.environ.get("SPARK_GRAFT_OFFHEAP")
+    if offheap:
+        builder = builder.config("spark.memory.offHeap.enabled", "true").config(
+            "spark.memory.offHeap.size", offheap
+        )
     return builder.getOrCreate()
 
 
