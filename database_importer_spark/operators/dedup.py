@@ -189,11 +189,19 @@ def minhash_signatures_portable(
 def lsh_candidate_pairs_portable(
     sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Band buckets keyed by the *value string* of each band slice
-    (no engine-specific band hash — concat_ws is portable). Shuffle
-    carries (band_id, band_val, id) only; at 100 TB you would md5 the
-    band_val back down to 8 bytes before the exchange, which changes
-    bytes-on-wire, not the candidate set."""
+    """Band buckets keyed by a FIXED-WIDTH 60-bit digest of each band
+    slice: the '_'-joined value string (concat_ws — portable, no
+    engine-specific hash) is collapsed map-side to
+    ``conv(substr(md5(s),1,15),16,10)`` — the same portable md5
+    trick as the signature's base hash — so the exchange and the
+    self-join carry (band_id, band_key BIGINT, id) instead of an
+    arbitrary-length string: fixed 8-byte keys on the wire and in
+    the join hash table at any corpus size. DuckDB computes the
+    IDENTICAL digest from the identical string
+    (``('0x'||substr(md5(s),1,15))::BIGINT``), so the candidate set
+    — including any 2^-60 digest collision — is the same on both
+    engines, and the downstream exact-Jaccard verify filters
+    spurious candidates anyway: the oracle stays exact."""
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -201,28 +209,36 @@ def lsh_candidate_pairs_portable(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.element_at(
-                                    "minhash_sig", b * rows_per_band + r + 1
+                        F.conv(
+                            F.md5(
+                                F.concat_ws(
+                                    "_",
+                                    *[
+                                        F.element_at(
+                                            "minhash_sig", b * rows_per_band + r + 1
+                                        )
+                                        for r in range(rows_per_band)
+                                    ],
                                 )
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_val"),
+                            ).substr(1, 15),
+                            16,
+                            10,
+                        )
+                        .cast("bigint")
+                        .alias("band_key"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_val")
+    ).select(id_col, "band.band_id", "band.band_key")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

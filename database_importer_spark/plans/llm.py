@@ -256,13 +256,16 @@ def _minhash_oracle(num_hashes=32, bands=8, seed=7, threshold=0.3) -> str:
         f"list_min(list_transform(hh, h -> (h*{a}+{b}) % {MINHASH_PRIME}))"
         for (a, b) in params
     )
-    # stacked (band_id, band_val) rows + a single equi join — the
+    # stacked (band_id, band_key) rows + a single equi join — the
     # hash-joinable shape (an OR of 8 band equalities degrades DuckDB
     # to a nested loop, quadratic in corpus size); also mirrors the
-    # Spark side's explode + equi-join plan exactly.
+    # Spark side's explode + equi-join plan exactly, including the
+    # 60-bit md5 digest of the band-value string (fixed 8-byte join
+    # keys — identical strings on both engines → identical digests,
+    # so the candidate set matches bit-for-bit).
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
-        f"array_to_string(sig[{b * r + 1}:{b * r + r}], '_') AS bv FROM sig"
+        f"('0x' || substr(md5(array_to_string(sig[{b * r + 1}:{b * r + r}], '_')), 1, 15))::BIGINT AS bv FROM sig"
         for b in range(bands)
     )
     return f"""
@@ -319,9 +322,11 @@ def llm_dedup_near_minhash(spark, sf_dir):
     and would otherwise fan out n(n-1)/2 guaranteed candidates; on a
     ×10-replicated corpus this one change cut the sf1 wall clock ~5×
     on both engines. Scale shape: per-row signatures (no explode),
-    (band_id, band_val, id)-only shuffle, Jaccard verify on
-    candidates only. Tests additionally pin LSH pairs ⊆ exact pairs
-    and a measured recall floor."""
+    (band_id, 8-byte band digest, id)-only shuffle — fixed-width keys
+    on the wire and in the join hash table (r6; the digest is the
+    same portable md5 trick, computed identically by both engines) —
+    Jaccard verify on candidates only. Tests additionally pin LSH
+    pairs ⊆ exact pairs and a measured recall floor."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     reps = D.exact_dedup(d, "text", "doc_id").select("doc_id")
     kept = d.join(reps, "doc_id")
