@@ -675,3 +675,31 @@ def test_kmeans_codebook_reduces_distortion_and_improves_ivf(spark, emb):
     assert {r["query_id"] for r in out} == {0, 1, 2}
     for r in out:
         assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_portable_band_digest_matches_duckdb(spark):
+    """Cross-engine pin for the 60-bit band digest (r6): Spark's
+    conv(substr(md5(s),1,15),16,10) must equal DuckDB's
+    ('0x'||substr(md5(s),1,15))::BIGINT for band-value-shaped
+    strings — the exactness of the LSH candidate set (including any
+    digest collision) rests on this identity."""
+    import duckdb
+
+    samples = [
+        "123_456_789_1023",
+        "0_0_0_0",
+        "1073741823_536870911_268435455_134217727",
+        "",
+        "7_7_7_7",
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], "s string").select(
+        "s",
+        F.conv(F.md5("s").substr(1, 15), 16, 10).cast("bigint").alias("d"),
+    )
+    got = {r["s"]: r["d"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for s in samples:
+        (want,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()
+        assert got[s] == want, (s, got[s], want)
