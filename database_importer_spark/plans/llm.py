@@ -1681,15 +1681,34 @@ def llm_tfidf_cosine_pairs(spark, sf_dir):
     micro-units AFTER ROUND(6)-guarding ln(), so dot products and
     norms are exact integer sums (order-independent), and the final
     cosine is one deterministic double division. Shuffle payload:
-    (term, doc, int64) postings and (pair, int64) partials only."""
+    (term, doc, int64) postings and (pair, int64) partials only.
+
+    COLLAPSE-FIRST (r6, the round-3 dedup lesson applied here): the
+    whole computation is a function of DISTINCT text — tf and the
+    posting vector are per-text, df is the member-count-weighted sum
+    over canonicals, and cosine(a, b) ≡ cosine(canon(a), canon(b)).
+    So the posting self-join runs over one canonical per distinct
+    text (work ∝ distinct content²-ish), the ≥0.60 threshold is
+    applied at CANONICAL level, and only qualifying canonical pairs
+    expand back to member pairs (within-group pairs carry the
+    group's own dot/norm). The expanded pair recomputes the IDENTICAL
+    expression dot/(sqrt(Sa)·sqrt(Sb)) the naive plan evaluates, so
+    every output value is bit-equal to the unchanged naive DuckDB
+    oracle (verified exact at sf0.01/0.1 and the ×100 sf10 corpus —
+    where this rewrite is 24.6 s → ~2 s: the replicated corpus paid
+    ~10,000× the join work per duplicate group)."""
     d = t(spark, sf_dir, "documents")
     n = d.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    groups = d.groupBy("text").agg(
+        F.min("doc_id").alias("cid"), F.count(F.lit(1)).alias("mult")
+    )
+    members = d.select("doc_id", "text").join(groups, "text").select("doc_id", "cid")
     tok = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
-        .groupBy("doc_id", "term")
+        groups.select("cid", "mult", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("cid", "mult", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    df = tok.groupBy("term").agg(F.sum("mult").alias("doc_freq"))
     post = (
         tok.join(df, "term")
         .crossJoin(F.broadcast(n))
@@ -1698,7 +1717,7 @@ def llm_tfidf_cosine_pairs(spark, sf_dir):
             & (F.col("doc_freq") <= 4000)
         )
         .select(
-            "doc_id",
+            "cid",
             "term",
             F.round(
                 F.col("tf")
@@ -1709,30 +1728,54 @@ def llm_tfidf_cosine_pairs(spark, sf_dir):
             .alias("wq"),
         )
     )
-    norms = post.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("wq") * F.col("wq")).cast("double")).alias("nrm")
+    # integer self-dot S per canonical; nrm = sqrt(S) exactly as the
+    # naive plan computes it (norms join below reuses both forms)
+    norms = post.groupBy("cid").agg(
+        F.sum(F.col("wq") * F.col("wq")).alias("ss")
     )
-    a = post.select(
-        F.col("doc_id").alias("id_a"), "term", F.col("wq").alias("wa")
-    )
-    b = post.select(
-        F.col("doc_id").alias("id_b"), "term", F.col("wq").alias("wb")
-    )
-    dots = (
+    a = post.select(F.col("cid").alias("ca"), "term", F.col("wq").alias("wa"))
+    b = post.select(F.col("cid").alias("cb"), "term", F.col("wq").alias("wb"))
+    cross = (
         a.join(b, "term")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .filter(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "cb")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
-    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
-    cos = F.col("dot").cast("double") / (F.col("na") * F.col("nb"))
-    return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(cos >= 0.60)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    # within-group pairs: dot = S, both norms = sqrt(S); only groups
+    # with >1 member and a nonempty pruned posting vector qualify
+    within = norms.join(
+        groups.filter(F.col("mult") > 1).select("cid"), "cid"
+    ).select(
+        F.col("cid").alias("ca"), F.col("cid").alias("cb"),
+        F.col("ss").alias("dot"),
     )
+    na = norms.select(F.col("cid").alias("ca"), F.sqrt(F.col("ss").cast("double")).alias("na"))
+    nb = norms.select(F.col("cid").alias("cb"), F.sqrt(F.col("ss").cast("double")).alias("nb"))
+    cos = F.col("dot").cast("double") / (F.col("na") * F.col("nb"))
+    cpairs = (
+        cross.unionByName(within)
+        .join(na, "ca")
+        .join(nb, "cb")
+        .filter(cos >= 0.60)
+        .select("ca", "cb", F.round(cos, 6).alias("cosine"))
+    )
+    ma = members.select(F.col("cid").alias("ca"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("cid").alias("cb"), F.col("doc_id").alias("db"))
+    expanded = (
+        cpairs.join(ma, "ca").join(mb, "cb")
+        # within-group expansion (ca == cb) must not emit (x, x) or
+        # both orientations; cross-group combos each appear once but
+        # member ids need not follow cid order (cid is the group MIN,
+        # so a lower-cid group can hold larger member ids) — order
+        # every emitted pair by value with least/greatest
+        .filter((F.col("ca") != F.col("cb")) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "cosine",
+        )
+    )
+    return expanded
 
 
 def _kmeans_ivf_oracle(k=16, iters=2, dim=64, nprobe=2, topk=3) -> str:
