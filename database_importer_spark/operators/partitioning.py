@@ -13,6 +13,8 @@ staging table, importer.py:268-291 — co-locate once, join many times).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +35,11 @@ def _layout_lock(loc: str):
 
     @contextmanager
     def _lock():
+        # The warehouse dir (parent of loc) may not exist yet: it's
+        # gitignored, so a fresh checkout runs the first layout key with
+        # no spark-warehouse/ — the driver caught exactly this (r6
+        # verdict item 1). Create it before opening the lock file.
+        os.makedirs(os.path.dirname(loc) or ".", exist_ok=True)
         fd = open(loc + ".lock", "w")
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)

@@ -270,3 +270,61 @@ def test_read_partitioned_layout_caches_leaf_per_session(spark, sf_dir):
     d3 = read_partitioned_layout(child, loc, ev.schema)
     assert d3 is not d1
     assert d1.count() == d3.count() == ev.count()
+
+def test_layout_lock_creates_missing_warehouse_dir(tmp_path):
+    """Regression (r6 driver red row): _layout_lock opens {loc}.lock
+    where loc's parent is the warehouse dir — which is gitignored, so
+    a fresh checkout has no spark-warehouse/ and the first layout key
+    died with FileNotFoundError. The lock must create the parent."""
+    from database_importer_spark.operators.partitioning import _layout_lock
+
+    loc = str(tmp_path / "fresh_warehouse" / "dbis_part_events_x")
+    assert not (tmp_path / "fresh_warehouse").exists()
+    with _layout_lock(loc):
+        pass
+    assert (tmp_path / "fresh_warehouse").exists()
+
+
+def test_fresh_checkout_smoke_layout_keys(tmp_path):
+    """Driver-world smoke (VERDICT r6 item 6): a subprocess with an
+    EMPTY cwd and a plain SparkSession (no session.py confs → warehouse
+    defaults to cwd/spark-warehouse, which does not exist) must run the
+    layout-building keys that bit the driver. Catches the class of
+    works-only-in-a-dirty-tree portability bug before the driver does."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("fresh-checkout-smoke")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+import __spark_entry__ as e
+
+qs = e.queries()
+for key in ("agg_events_rollup_partitioned", "join_bucketed_colocated",
+            "tpch_q6_partitioned"):
+    n = qs[key](spark, "/root/testdata/sf0.001").count()
+    print(f"{key}: {n} rows")
+print("SMOKE_OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={
+            k: v
+            for k, v in __import__("os").environ.items()
+            if k not in ("SPARK_GRAFT_SF_DIR",)
+        },
+    )
+    assert "SMOKE_OK" in r.stdout, r.stdout + r.stderr
