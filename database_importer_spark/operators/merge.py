@@ -39,6 +39,8 @@ staging).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -113,12 +115,14 @@ class Merger:
         keys: list[str] | None = None,
         broadcast: bool = True,
         source_join_hint: str | None = None,
+        validate_anchor: DataFrame | None = None,
     ):
         if data.isEmpty():
             raise ValueError("data contains no records")
 
         self._target = target
         self._data_master = data
+        self._validate_anchor = validate_anchor
         self._keys = list(keys or [])
         self._broadcast = broadcast
         self._source_join_hint = source_join_hint
@@ -139,6 +143,19 @@ class Merger:
             *[_qcol(c).alias(c) for c in (*self._join_on, *self._subset)]
         )
         self._data = sliced.na.drop(subset=self._join_on)
+        # validate_anchor: a FILE-ANCHORED frame that is plan-equal to
+        # ``data`` modulo checkpointing. A checkpointed source is a
+        # LogicalRDD with no input files, so validate_unique_keys can
+        # neither fingerprint it (memo) nor trust #id-stripped plan
+        # equality (two different RDDs canonicalize alike). Callers
+        # that checkpoint their staging batch pass the pre-checkpoint
+        # plan here; validation then runs (and memoizes) on the anchor
+        # — same rows by construction, so the verdict transfers.
+        if validate_anchor is not None:
+            a = validate_anchor.select(
+                *[_qcol(c).alias(c) for c in (*self._join_on, *self._subset)]
+            )
+            self._validate_anchor = a.na.drop(subset=self._join_on)
 
     # --- validation (importer.py:141-251 parity) --------------------
 
@@ -198,9 +215,48 @@ class Merger:
     def validate_unique_keys(self) -> None:
         """Each source row must address exactly one target row
         (importer.py:242-249). One cheap agg job over the (small)
-        source; map-side partial aggregation keeps it a single pass."""
+        source; map-side partial aggregation keeps it a single pass.
+
+        Memoized (r7) per (session, canonical source plan, source file
+        fingerprint): re-running the same MERGE plan re-proved the same
+        property every invocation — a fixed 0.4-0.65 s job at sf10 that
+        dominated the merge's non-sink cost. Same plan + same input
+        files (path/size/mtime of every scanned file) ⇒ same verdict,
+        so a pass is recorded and skipped next time; a CHANGED source
+        (new batch file, regenerated corpus, different projection) gets
+        a fresh key and re-validates. Failures are never memoized."""
+        import re
+
+        from database_importer_spark.session import session_cache
+
+        frame = (
+            self._validate_anchor if self._validate_anchor is not None else self._data
+        )
+        spark = frame.sparkSession
+        memo = session_cache(spark, "merge_validated_keys")
+        try:
+            plan = frame._jdf.queryExecution().analyzed().toString()
+            canonical = re.sub(r"#\d+L?", "#", plan)
+            files = []
+            for f in frame.inputFiles():
+                p = f.removeprefix("file:")
+                st = os.stat(p)
+                files.append((p, st.st_size, st.st_mtime_ns))
+            # No file anchors (e.g. a checkpointed/LogicalRDD source,
+            # createDataFrame input): two different datasets would
+            # canonicalize identically after #id-stripping — never
+            # memoize those, always re-validate.
+            key = (
+                (canonical, tuple(sorted(files)), tuple(self._join_on))
+                if files
+                else None
+            )
+        except Exception:
+            key = None
+        if key is not None and key in memo:
+            return
         dup = (
-            self._data.groupBy(*self._join_on)
+            frame.groupBy(*self._join_on)
             .count()
             .filter(F.col("count") > 1)
             .limit(1)
@@ -211,6 +267,8 @@ class Merger:
                 "data contains duplicate values in join on column%s: %s"
                 % (_plural(len(self._join_on)), _fmt_cols(self._join_on))
             )
+        if key is not None:
+            memo[key] = True
 
     # --- properties (importer.py:107-123 parity: re-slice on change) --
 

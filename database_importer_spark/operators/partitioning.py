@@ -377,20 +377,33 @@ def ensure_partitioned_layout(
 # entry is simply never hit again. Only the LEAF DataFrame is cached
 # — per-query filters/projections still build per call — and layout
 # consumers never self-join the layout, so shared expression ids are
-# safe. Keyed by the owning session (child sessions have their own
-# SQLConf; a DataFrame is bound to the session that created it).
-_LAYOUT_READER_CACHE: dict[tuple[int, str], DataFrame] = {}
+# safe. Scoped to the owning LIVE session via session.session_cache
+# (child sessions have their own SQLConf; a DataFrame is bound to the
+# session that created it; ADVICE r6: id(spark) keys can alias a
+# recycled session id, and a module dict would pin DataFrames for
+# process lifetime). Keys carry a schema fingerprint: two callers
+# reading the same loc with different schemas get distinct leaves
+# instead of the first registration silently winning.
+
+
+def _schema_tag(schema) -> str:
+    import hashlib
+
+    return hashlib.md5(schema.simpleString().encode()).hexdigest()[:8]
 
 
 def read_partitioned_layout(spark: SparkSession, loc: str, schema) -> DataFrame:
     """Path-based read of an ensure_partitioned_layout output with an
     explicit schema (skips footer + partition-type inference) and a
     per-session leaf cache (skips per-call partition discovery)."""
-    key = (id(spark), loc)
-    df = _LAYOUT_READER_CACHE.get(key)
+    from database_importer_spark.session import session_cache
+
+    readers = session_cache(spark, "layout_readers")
+    key = (loc, _schema_tag(schema))
+    df = readers.get(key)
     if df is None:
         df = spark.read.schema(schema).parquet(loc)
-        _LAYOUT_READER_CACHE[key] = df
+        readers[key] = df
     return df
 
 
@@ -399,15 +412,20 @@ def partitioned_layout_view(spark: SparkSession, loc: str, schema) -> str:
     declared plans written as a single ``spark.sql`` call (the
     DataFrame filter+agg chain costs ~50-80 ms of py4j round trips
     per invocation; the SQL form ~25 ms). Registered once per
-    (session, loc); the loc is content-addressed so a regenerated
-    corpus gets a fresh view name."""
+    (session, loc, schema); the loc is content-addressed so a
+    regenerated corpus gets a fresh view name."""
     import hashlib
 
-    vname = "dbis_vpart_" + hashlib.md5(loc.encode()).hexdigest()[:10]
-    key = (id(spark), vname)
-    if key not in _LAYOUT_READER_CACHE:
+    from database_importer_spark.session import session_cache
+
+    vname = (
+        "dbis_vpart_"
+        + hashlib.md5(f"{loc}|{_schema_tag(schema)}".encode()).hexdigest()[:10]
+    )
+    registered = session_cache(spark, "layout_views")
+    if vname not in registered:
         read_partitioned_layout(spark, loc, schema).createOrReplaceTempView(vname)
-        _LAYOUT_READER_CACHE[key] = True  # sentinel: view registered
+        registered[vname] = loc
     return vname
 
 

@@ -160,6 +160,12 @@ def cosine_topk_kernel(
     qacc = np.zeros(len(qids))
     for i in range(dim):
         qacc += qmat[:, i] * qmat[:, i]
+    if np.any(qacc == 0.0):
+        bad = [qids[i] for i in np.flatnonzero(qacc == 0.0)[:3]]
+        raise ValueError(
+            f"cosine_topk_kernel: zero-norm query vector(s), ids {bad} "
+            "— cosine is undefined; filter them out"
+        )
     qnorm = np.sqrt(qacc)
 
     out_schema = T.StructType(
@@ -188,13 +194,27 @@ def cosine_topk_kernel(
                 ai = a[:, i]
                 nacc += ai * ai
                 dots += ai[:, None] * qmat[None, :, i]
+            # Zero-norm corpus vector: the SQL fold path raises
+            # DIVIDE_BY_ZERO under ANSI mode (Spark 4 default); the
+            # kernel mirrors that with a named error instead of
+            # silently emitting NaN, which numpy would then sort LAST
+            # while Spark/DuckDB windows order NaN as greatest under
+            # DESC (ADVICE r6 — divergent top-k).
+            if np.any(nacc == 0.0):
+                bad = ids[np.flatnonzero(nacc == 0.0)[:3]].tolist()
+                raise ValueError(
+                    "cosine_topk_kernel: zero-norm corpus vector(s), "
+                    f"ids {bad} — cosine is undefined (the SQL fold "
+                    "raises DIVIDE_BY_ZERO here); filter them out"
+                )
             cos = dots / (qnorm[None, :] * np.sqrt(nacc)[:, None])
             rows = []
             for j, qid in enumerate(qids):
                 cj = cos[:, j]
                 idx = np.flatnonzero(ids != qid)
                 # (cosine desc, corpus_id asc): lexsort's last key is
-                # primary
+                # primary; zero norms were rejected above, so cj is
+                # NaN-free and the negated key is totally ordered
                 order = np.lexsort((ids[idx], -cj[idx]))[:k]
                 for s in idx[order]:
                     rows.append((qid, int(ids[s]), float(cj[s])))

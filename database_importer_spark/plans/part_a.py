@@ -322,20 +322,20 @@ def upsert_merge_full(spark, sf_dir):
     scan — the reference's intended end-state ``run(update=True,
     insert=True)`` (importer.py:293-307).
 
-    The update source is lazily checkpointed (round 4): the merge
-    references it from four plan arms (broadcast build, semi probe,
-    anti probe, insert projection), and without the checkpoint
-    Catalyst inlines the whole source subplan — including its max-key
-    aggregate — into every arm (11 scans of the source table at sf10;
-    measured 4.5 s → 3.7 s from computing it once). This is exactly
-    the reference's staging-table step (importer.py:268-291):
-    materialize the update batch once, then merge against it."""
+    The source is NOT checkpointed (r7): the r4 checkpoint existed
+    because four plan arms re-derived the source subplan (11 scans);
+    since r6 the semi probe shares the update arm's broadcast frame,
+    so the duplicated subplans are canonically identical and reuse
+    one another's exchanges — the A/B now measures the checkpoint as
+    pure loss (3.62 → 2.97 s at sf10, tools/probe_merge_fixed.py).
+    Dropping it also keeps the source file-anchored, which is what
+    lets validate_unique_keys memoize (a checkpointed LogicalRDD has
+    no input files to fingerprint, so it re-validated every
+    invocation — a fixed 0.6 s job). The reference's staging-table
+    step (importer.py:268-291) survives as the plan's single shared
+    broadcast materialization of the batch."""
     target = t(spark, sf_dir, "orders")
-    src = (
-        _updates_df(spark, sf_dir)
-        .unionByName(_insert_source_df(spark, sf_dir))
-        .localCheckpoint(eager=False)
-    )
+    src = _updates_df(spark, sf_dir).unionByName(_insert_source_df(spark, sf_dir))
     m = Merger(target, src, join_on=["o_orderkey"])
     return m.merged(update=True, insert=True)
 
@@ -366,14 +366,18 @@ def upsert_merge_delta_rows(spark, sf_dir):
 
     Plan: target streams through one broadcast hash probe per arm
     (inner for updates, anti for inserts) — nothing target-sized
-    shuffles, nothing target-sized is output."""
+    shuffles, nothing target-sized is output. The source keeps its
+    lazy checkpoint — HERE it is what keeps the plan at exactly 3
+    broadcast joins with one shared batch materialization (dropping
+    it re-derives the batch subplan per arm: 5 broadcast joins, 3
+    max-key scans, measured neutral locally but the wrong 100 TB
+    shape) — and since r7 passes the pre-checkpoint plan as the
+    validate ANCHOR, so key-uniqueness memoizes on the source's file
+    fingerprint instead of re-running a fixed job per invocation."""
     target = t(spark, sf_dir, "orders")
-    src = (
-        _updates_df(spark, sf_dir)
-        .unionByName(_insert_source_df(spark, sf_dir))
-        .localCheckpoint(eager=False)
-    )
-    m = Merger(target, src, join_on=["o_orderkey"])
+    raw = _updates_df(spark, sf_dir).unionByName(_insert_source_df(spark, sf_dir))
+    src = raw.localCheckpoint(eager=False)
+    m = Merger(target, src, join_on=["o_orderkey"], validate_anchor=raw)
     return m.merged_delta(update=True, insert=True)
 
 
@@ -431,9 +435,15 @@ def upsert_merge_bucketed(spark, sf_dir):
     # goes through source_join_hint so the Merger applies it only at
     # the join site (a hint on the whole frame also reaches the
     # non-join validation query, where Spark drops it with a warning).
-    src = upd.unionByName(ins).localCheckpoint(eager=False)
+    raw = upd.unionByName(ins)
+    src = raw.localCheckpoint(eager=False)
     m = Merger(
-        o, src, join_on=["o_orderkey"], broadcast=False, source_join_hint="merge"
+        o,
+        src,
+        join_on=["o_orderkey"],
+        broadcast=False,
+        source_join_hint="merge",
+        validate_anchor=raw,
     )
     return m.merged(update=True, insert=True, strategy="full_outer")
 

@@ -139,10 +139,17 @@ def win_lag_lead(spark, sf_dir):
     """,
 )
 def win_running_sum_rows(spark, sf_dir):
-    """Running total per customer: DECIMAL accumulation makes every
-    prefix sum order-independent-exact, so the whole column
+    """Running total per customer: quantized-LONG accumulation makes
+    every prefix sum order-independent-exact, so the whole column
     hash-matches. One exchange + per-group sort = fixed shape →
-    static-plan session (283→208 ms at sf0.1, tools/probe_floor.py)."""
+    static-plan session (283→208 ms at sf0.1, tools/probe_floor.py).
+    Output conversion is the plain double division (dec4_sum
+    div="double", r7): bit-equal to the DECIMAL(25,4)→double cast
+    while the per-CUSTOMER prefix stays < $9.0e11 — a per-entity
+    bound that holds at 100 TB — and it runs per output row, so the
+    decimal chain was 26% of the query (1.51→1.12 s at sf10,
+    tools/probe_band.py). Residual vs DuckDB is the exchange+sort
+    floor (1.02 s of 1.12); the bucketed twin removes exactly that."""
     spark = static_plan_session(spark)
     o = t(spark, sf_dir, "orders")
     w = (
@@ -153,7 +160,7 @@ def win_running_sum_rows(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        dec4_sum(F.col("o_totalprice"), window=w).alias("running_spend"),
+        dec4_sum(F.col("o_totalprice"), window=w, div="double").alias("running_spend"),
     )
 
 
@@ -204,7 +211,7 @@ def win_running_sum_bucketed(spark, sf_dir):
     return ob.select(
         "o_custkey",
         "o_orderkey",
-        dec4_sum(F.col("o_totalprice"), window=w).alias("running_spend"),
+        dec4_sum(F.col("o_totalprice"), window=w, div="double").alias("running_spend"),
     )
 
 
@@ -233,7 +240,7 @@ def win_range_frame(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         F.count(F.lit(1)).over(w).alias("n_near_orders"),
-        dec4_sum(F.col("o_totalprice"), window=w).alias("near_spend"),
+        dec4_sum(F.col("o_totalprice"), window=w, div="double").alias("near_spend"),
     )
 
 

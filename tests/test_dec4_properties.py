@@ -113,3 +113,32 @@ def test_ffd_oracle_replays_packer_on_random_docs(spark, docs):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@given(vals=st.lists(st.tuples(groups, cents), min_size=1, max_size=40))
+@SETTINGS
+def test_dec4_window_double_division_bit_equal(spark, vals):
+    """r7: the ``div="double"`` output conversion must be BIT-equal to
+    the decimal(25,0)/10000 → DECIMAL(25,4) → double chain for every
+    window prefix sum within the documented |S| < 2^53 bound (random
+    2dp money values, random partitions, running ROWS frame)."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(g, i, c / 100.0) for i, (g, c) in enumerate(vals)],
+        "g int, seq int, x double",
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fast = df.select("g", "seq", dec4_sum(F.col("x"), window=w, div="double").alias("s"))
+    ref = df.select("g", "seq", dec4_sum(F.col("x"), window=w).alias("s"))
+    got = sorted(map(tuple, fast.collect()))
+    want = sorted(map(tuple, ref.collect()))
+    import struct
+
+    assert [struct.pack(">d", s) for *_k, s in got] == [
+        struct.pack(">d", s) for *_k, s in want
+    ], (got, want)

@@ -276,3 +276,74 @@ def test_dotted_column_names(spark):
     src = spark.createDataFrame([("a", 10)], ["k", "v.x"])
     out = Merger(target, src, join_on=["k"]).merged(update=True)
     assert sorted(tuple(r) for r in out.collect()) == [("a", 10), ("b", 2)]
+
+
+def test_validate_memo_fires_only_for_file_anchored_sources(spark, tmp_path):
+    """r7 validate memo: a parquet-anchored source memoizes its
+    key-uniqueness verdict (same plan + same files ⇒ skip the job);
+    an RDD/createDataFrame source has no file anchors and must
+    re-validate every call (two different datasets would canonicalize
+    identically after #id-stripping)."""
+    from database_importer_spark.session import session_cache
+
+    memo = session_cache(spark, "merge_validated_keys")
+    memo.clear()
+
+    target = spark.createDataFrame(SEED, SCHEMA)
+    loc = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [("ID000001", "Apple", 9, 1.0)], SCHEMA
+    ).write.parquet(loc)
+
+    src = spark.read.parquet(loc)
+    m = Merger(target, src, join_on=["id"])
+    m.validate_unique_keys()
+    assert len(memo) == 1
+    # a poisoned dup query proves the second call short-circuits
+    m2 = Merger(target, spark.read.parquet(loc), join_on=["id"])
+    m2._data = None  # would AttributeError if the job ran
+    m2._validate_anchor = spark.read.parquet(loc)
+    m2.validate_unique_keys()
+
+    # no file anchors -> never memoized
+    memo.clear()
+    m3 = Merger(target, spark.createDataFrame(SEED, SCHEMA), join_on=["id"])
+    m3.validate_unique_keys()
+    assert len(memo) == 0
+
+
+def test_validate_anchor_covers_checkpointed_source(spark, tmp_path):
+    """A lazily-checkpointed staging batch (LogicalRDD, zero input
+    files) memoizes via its pre-checkpoint validate_anchor — and a
+    DUPLICATE-keyed anchored source still raises (failures are never
+    memoized)."""
+    from database_importer_spark.session import session_cache
+
+    memo = session_cache(spark, "merge_validated_keys")
+    memo.clear()
+
+    target = spark.createDataFrame(SEED, SCHEMA)
+    loc = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [("ID000002", "Pear", 1, 2.0)], SCHEMA
+    ).write.parquet(loc)
+    raw = spark.read.parquet(loc)
+    src = raw.localCheckpoint(eager=False)
+    m = Merger(target, src, join_on=["id"], validate_anchor=raw)
+    m.validate_unique_keys()
+    assert len(memo) == 1
+
+    dup_loc = str(tmp_path / "dups.parquet")
+    spark.createDataFrame(
+        [("ID000002", "Pear", 1, 2.0), ("ID000002", "Pear", 2, 3.0)], SCHEMA
+    ).write.parquet(dup_loc)
+    dup_raw = spark.read.parquet(dup_loc)
+    m_dup = Merger(
+        target,
+        dup_raw.localCheckpoint(eager=False),
+        join_on=["id"],
+        validate_anchor=dup_raw,
+    )
+    with pytest.raises(MergerError, match="duplicate values"):
+        m_dup.validate_unique_keys()
+    assert len(memo) == 1  # the failure was not recorded

@@ -703,3 +703,27 @@ def test_portable_band_digest_matches_duckdb(spark):
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
         ).fetchone()
         assert got[s] == want, (s, got[s], want)
+
+
+def test_cosine_topk_kernel_zero_norm_raises_like_fold(spark):
+    """ADVICE r6: a zero-norm vector makes cosine undefined. The SQL
+    fold path raises DIVIDE_BY_ZERO under ANSI mode (Spark 4
+    default); the kernel must surface a named error too — NOT
+    silently emit NaN, which numpy would sort last while Spark/DuckDB
+    windows rank NaN greatest under DESC (divergent top-k)."""
+    rows = [(i, [float(i + d) for d in range(4)]) for i in range(1, 6)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # zero-norm corpus vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 1)
+    q_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in q.select("vec_id", "embedding").collect()
+    ]
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        S.cosine_topk(df, q, "vec_id", "embedding", k=3).collect()
+    with pytest.raises(Exception, match="zero-norm"):
+        S.cosine_topk_kernel(df, q_rows, "vec_id", "embedding", k=3).collect()
+    with pytest.raises(ValueError, match="zero-norm query"):
+        S.cosine_topk_kernel(
+            df, [(7, [0.0, 0.0, 0.0, 0.0])], "vec_id", "embedding", k=3
+        )

@@ -96,6 +96,87 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def _ffd_pack_oracle(con) -> pd.DataFrame:
+    """Linear-time checker-side oracle for llm_pack_sequences
+    (VERDICT r6 item 5). The declared DuckDB recursive-CTE replay is
+    O(docs·bins) — it carries every bucket's remaining-capacity LIST
+    through each recursion step, which at sf10 was killed at
+    25 min / 34 GB. First-fit-decreasing itself is NOT quadratic: with
+    a max segment tree over bin remainders, "leftmost bin with
+    rem >= need" is O(log bins), so the whole replay is O(n log n).
+    This is checker infrastructure (an independent second
+    implementation, like the SQL string), not engine code; the SQL
+    oracle stays declared — the driver still runs it at sf0.01."""
+    rows = con.sql(
+        "SELECT doc_id, n_chars // 4 AS n_tokens,"
+        " (doc_id * 2654435761) % 8 AS bucket FROM documents"
+    ).df()
+    CAP = 2048
+    out_doc, out_bin = [], []
+    fills: dict[int, int] = {}
+    doc_bin: list[int] = []
+    for bucket, grp in rows.groupby("bucket", sort=True):
+        g = grp.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        n = len(g)
+        sz = 1
+        while sz < max(n, 2):
+            sz *= 2
+        tree = np.full(2 * sz, -1, dtype=np.int64)
+
+        def update(i, val):
+            j = sz + i
+            tree[j] = val
+            j //= 2
+            while j:
+                tree[j] = max(tree[2 * j], tree[2 * j + 1])
+                j //= 2
+
+        def find(need):
+            if tree[1] < need:
+                return -1
+            j = 1
+            while j < sz:
+                j = 2 * j if tree[2 * j] >= need else 2 * j + 1
+            return j - sz
+
+        n_bins = 0
+        rem = np.zeros(n, dtype=np.int64)
+        b = int(bucket)
+        for doc_id, need in zip(
+            g["doc_id"].to_numpy(), g["n_tokens"].to_numpy()
+        ):
+            i = find(need)
+            if i < 0 or i >= n_bins:
+                i = n_bins
+                n_bins += 1
+                rem[i] = max(CAP - need, 0)
+            else:
+                rem[i] -= need
+            update(i, rem[i])
+            bin_id = b * (1 << 40) + i
+            out_doc.append(int(doc_id))
+            out_bin.append(bin_id)
+            fills[bin_id] = fills.get(bin_id, 0) + int(need)
+            doc_bin.append(bin_id)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "bin_id": pd.Series(out_bin, dtype="int64"),
+            "bin_fill": pd.Series(
+                [fills[x] for x in doc_bin], dtype="int64"
+            ),
+        }
+    )
+
+
+# Checker-side Python oracles: used by THIS tool in place of the
+# declared SQL twin when the SQL form is infeasible at scale. The
+# declared oracle string is unchanged (the driver still runs it).
+PY_ORACLES = {"llm_pack_sequences": _ffd_pack_oracle}
+
+
 def main():
     args = sys.argv[1:]
     json_out = None
@@ -136,7 +217,10 @@ def main():
             print(f"ROWS {key}: {len(spark_pdf)} rows (no oracle)")
             continue
         try:
-            duck_pdf = con.sql(q.oracle).df()
+            if key in PY_ORACLES:
+                duck_pdf = PY_ORACLES[key](con)
+            else:
+                duck_pdf = con.sql(q.oracle).df()
         except Exception as e:
             failed.append((key, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
             print(f"FAIL {key}: duckdb error: {e}")
