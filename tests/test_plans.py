@@ -682,3 +682,19 @@ def test_delta_merge_target_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("BroadcastHashJoin") == 3
+
+
+def test_similarity_topk_builder_collect_is_memoized(spark, sf_dir):
+    """ADVICE r6 / r2 invariant audit: llm_similarity_topk is the
+    registry's ONE documented exception to 'no driver-side actions in
+    plan builders' — its bounded query-vector ingestion collect. The
+    memo confines the exception to the FIRST build per (session,
+    corpus): rebuilding the plan must launch zero Spark jobs."""
+    from database_importer_spark.plans import REGISTRY
+
+    st = spark.sparkContext.statusTracker()
+    REGISTRY["llm_similarity_topk"].fn(spark, sf_dir)  # may ingest
+    before = set(st.getJobIdsForGroup())
+    REGISTRY["llm_similarity_topk"].fn(spark, sf_dir)
+    after = set(st.getJobIdsForGroup())
+    assert after == before, "plan rebuild ran a driver-side job"
