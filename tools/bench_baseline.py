@@ -86,9 +86,25 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         f"BENCH_RUNS_{tag}.json",
     )
+    # APPEND an invocation instead of overwriting (r7): the judge
+    # reads the multi-invocation envelope; a plain "w" dump silently
+    # discarded the previous run's arrays.
+    doc = {"invocations": []}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                prev = json.load(f)
+            doc = prev if "invocations" in prev else {"invocations": [prev]}
+        except Exception:
+            pass
+    doc["invocations"].append(raw)
     with open(out, "w") as f:
-        json.dump(raw, f, indent=1)
-    print(f"  per-run arrays -> {out}", file=sys.stderr)
+        json.dump(doc, f, indent=1)
+    print(
+        f"  per-run arrays -> {out} "
+        f"(invocation {len(doc['invocations'])})",
+        file=sys.stderr,
+    )
 
     lines = []
     for key, s_ms, d_ms, ratio in rows:
