@@ -18,7 +18,7 @@ SF = "/root/testdata/sf0.001"
 ANNOTATED = {
     "scan_parquet_pushdown": "Filters + 4-column projection reach the parquet scan (PushedFilters / ReadSchema).",
     "update_inner_join": "The merge: target scanned ONCE, never exchanged; update source broadcast (BuildRight). At 100 TB the big side only streams.",
-    "upsert_merge_full": "Full upsert: broadcast update join + semi-then-anti insert — no Exchange of the target anywhere in the plan.",
+    "upsert_merge_full": "Full upsert: broadcast update join + semi-then-anti insert — no Exchange of the target anywhere in the plan. r7: the source is no longer checkpointed (its parquet subplan is visible and shared through one broadcast; the LogicalRDD scans are gone), which also lets key-uniqueness validation memoize on the source's file fingerprint.",
     "join_broadcast_hash": "Star join: both dims broadcast, fact side unshuffled until the final partial+final aggregation.",
     "join_shuffle_sortmerge": "Large x large: both sides hash-partition on the join key; AQE re-plans at runtime.",
     "join_asof_nearest": "As-of via tagged-frame window over a window-aligned bucketed layout (r6): bucket key = the as-of partition key, in-bucket sort = (key, ts, side, tie) — ZERO exchange, ZERO sort, no range join, no cartesian.",
