@@ -53,6 +53,7 @@ HEADLINE = [
     "win_rank_topk_bucketed",
     "agg_events_rollup_partitioned",
     "limit_topk_global",
+    "limit_topk_pruned",
     "fn_math_core",
     "llm_dedup_exact",
     "llm_similarity_topk",

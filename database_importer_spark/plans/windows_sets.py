@@ -330,6 +330,47 @@ def limit_topk_global(spark, sf_dir):
     )
 
 
+@declare(
+    "limit_topk_pruned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def limit_topk_pruned(spark, sf_dir):
+    """Zone-map-pruned twin of `limit_topk_global` (same oracle): a
+    global top-k should not read the table. Parquet footers carry
+    min/max per row group; a one-column peek at the highest-max row
+    group yields a sound threshold (k-th largest of any k concrete
+    values lower-bounds the true k-th), and prepending
+    `o_totalprice >= threshold` lets Spark's pushed parquet filter
+    skip every row group whose max is below it — data pages never
+    decoded. This is the optimization columnar engines apply to
+    ORDER BY ... LIMIT natively (why DuckDB runs the unpruned twin at
+    ~36 ms over 15M rows); Spark lacks it, so the engine synthesizes
+    it from footer stats (operators/pruning.py — soundness argument
+    and the 100 TB coordinator/zone-map framing there). Fixed shape →
+    static-plan session."""
+    import os
+
+    from database_importer_spark.operators.pruning import (
+        topk_prune_threshold,
+    )
+
+    spark = static_plan_session(spark)
+    thr = topk_prune_threshold(
+        os.path.join(sf_dir, "orders.parquet"), "o_totalprice", 10
+    )
+    o = t(spark, sf_dir, "orders")
+    if thr is not None:
+        o = o.filter(F.col("o_totalprice") >= F.lit(thr))
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
 # --- B.7 set operations --------------------------------------------
 
 

@@ -727,3 +727,54 @@ def test_cosine_topk_kernel_zero_norm_raises_like_fold(spark):
         S.cosine_topk_kernel(
             df, [(7, [0.0, 0.0, 0.0, 0.0])], "vec_id", "embedding", k=3
         )
+
+
+def test_topk_prune_threshold_soundness(tmp_path):
+    """The zone-map threshold is a lower bound on the true k-th
+    largest value, across row-group boundaries and under ties at the
+    boundary — so the >= filter can never drop a true top-k row.
+    Exercises both the single-file and directory-of-parts layouts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_importer_spark.operators.pruning import (
+        topk_prune_threshold,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.uniform(0, 1000, 500), 2)
+    vals[17] = vals[401] = vals[42] = 999.99  # ties near the top
+    f = tmp_path / "vals.parquet"
+    pq.write_table(pa.table({"x": vals}), f, row_group_size=37)
+
+    for k in (1, 3, 10, 100, 500):
+        thr = topk_prune_threshold(str(f), "x", k)
+        assert thr is not None
+        kth = np.sort(vals)[::-1][k - 1]
+        assert thr <= kth
+        assert (vals >= thr).sum() >= k
+
+    # k greater than the row count: no sound threshold → None
+    assert topk_prune_threshold(str(f), "x", 501) is None
+
+    # directory-of-parts layout: same bound holds over the union
+    d = tmp_path / "parts"
+    d.mkdir()
+    pq.write_table(pa.table({"x": vals[:250]}), d / "a.parquet",
+                   row_group_size=37)
+    pq.write_table(pa.table({"x": vals[250:]}), d / "b.parquet",
+                   row_group_size=37)
+    thr = topk_prune_threshold(str(d), "x", 10)
+    kth = np.sort(vals)[::-1][9]
+    assert thr is not None and thr <= kth
+
+
+def test_pruned_topk_matches_unpruned(spark, sf_dir):
+    """End-to-end: the pruned plan returns exactly the unpruned
+    twin's rows (same oracle, same tiebreak)."""
+    from database_importer_spark.plans import REGISTRY
+
+    a = REGISTRY["limit_topk_global"].fn(spark, sf_dir).collect()
+    b = REGISTRY["limit_topk_pruned"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

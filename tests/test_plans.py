@@ -698,3 +698,14 @@ def test_similarity_topk_builder_collect_is_memoized(spark, sf_dir):
     REGISTRY["llm_similarity_topk"].fn(spark, sf_dir)
     after = set(st.getJobIdsForGroup())
     assert after == before, "plan rebuild ran a driver-side job"
+
+
+def test_pruned_topk_pushes_threshold_to_scan(spark):
+    """limit_topk_pruned: the zone-map threshold must reach the
+    parquet reader as a pushed filter (row groups with max below it
+    are skipped without decoding data pages) and the top-k itself
+    stays TakeOrderedAndProject — never a global sort."""
+    plan = physical(spark, "limit_topk_pruned")
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThanOrEqual(o_totalprice" in plan
+    assert "Exchange rangepartitioning" not in plan

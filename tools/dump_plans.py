@@ -24,6 +24,7 @@ ANNOTATED = {
     "join_asof_nearest": "As-of via tagged-frame window over a window-aligned bucketed layout (r6): bucket key = the as-of partition key, in-bucket sort = (key, ts, side, tie) — ZERO exchange, ZERO sort, no range join, no cartesian.",
     "agg_hash_groupby": "TPC-H Q1: partial HashAggregate before the exchange (shuffle carries group partials, not rows).",
     "limit_topk_global": "Global top-k: TakeOrderedAndProject — per-task heaps, no global sort.",
+    "limit_topk_pruned": "Zone-map twin (r7): footer-stats threshold pushed to the scan as GreaterThanOrEqual — row groups whose max is below the k-th candidate never decode; TakeOrderedAndProject over the survivors.",
     "llm_dedup_exact": "Dedup: aggregation on sha2 digest — the text payload never crosses the exchange.",
     "tpch_q5_local_supplier_volume": "Six-way join, selective-dim-first (r4): the ASIA supplier dim broadcasts and prunes lineitem BEFORE the orderkey exchange; nationkey residual is a post-join filter.",
     "tpch_q7_volume_shipping": "Dual nation aliases both broadcast; the disjunctive nation-pair predicate is a residual Filter, never a cartesian.",
