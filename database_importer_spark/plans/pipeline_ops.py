@@ -588,3 +588,69 @@ def profile_table_stats(spark, sf_dir):
         .select("m.*")
         .orderBy("column_name")
     )
+
+
+# --- footer-stats profiler (parquet aggregate pushdown) -------------
+
+
+def _profile_pushdown_oracle() -> str:
+    parts = []
+    for col in ("o_orderkey", "o_custkey", "o_totalprice"):
+        parts.append(
+            f"SELECT '{col}' AS column_name, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({col}) AS BIGINT) AS n_nulls, "
+            f"min({col})::DOUBLE AS min_num, "
+            f"max({col})::DOUBLE AS max_num "
+            f"FROM orders"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@declare("profile_numeric_stats_pushdown", oracle=_profile_pushdown_oracle())
+def profile_numeric_stats_pushdown(spark, sf_dir):
+    """The numeric half of the table profiler answered from parquet
+    FOOTER STATISTICS — zero data pages decoded. Spark's DSv2 parquet
+    scan supports aggregate pushdown (MIN/MAX/COUNT over atomic
+    numeric columns, no filter): the scan emits one pre-aggregated
+    row per row group straight from footer min/max/num_nulls, and the
+    partial+final HashAggregate combines ~#row-groups rows instead of
+    the corpus (plan-pinned: non-empty PushedAggregation). This is
+    the third footer-stats technique in the engine (schema cache,
+    zone-map top-k) and the scale answer for the profiler family's
+    min/max/null metrics: at 100 TB it reads metadata, not the table.
+    Limits are honest and enforced by scoping: strings/dates/distinct
+    counts are NOT pushable (pushdown is all-or-nothing per
+    aggregate), so they stay on the streaming one-pass profiler
+    (profile_table_stats_approx); this key profiles exactly the
+    numeric columns. Runs on the dedicated V2-parquet child session
+    (session.pushdown_plan_session). Single spark.sql declaration
+    (the r6 py4j-constant shave: the struct/explode reshape built
+    through the DataFrame API cost ~120 ms of pure plan construction
+    per invocation); inline(array(named_struct...)) preserves the
+    pre-sorted array order over the one aggregate row, so no orderBy
+    (a rangepartitioning exchange + sampling job over 3 rows) is
+    needed."""
+    from database_importer_spark.plans.registry import sql_view
+    from database_importer_spark.session import pushdown_plan_session
+
+    spark = pushdown_plan_session(spark)
+    v = sql_view(spark, sf_dir, "orders")
+    num_cols = ("o_orderkey", "o_custkey", "o_totalprice")
+    agg_items = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for c in num_cols:
+        agg_items += [
+            f"CAST(COUNT({c}) AS BIGINT) AS {c}__nn",
+            f"CAST(MIN({c}) AS DOUBLE) AS {c}__min",
+            f"CAST(MAX({c}) AS DOUBLE) AS {c}__max",
+        ]
+    rows = ", ".join(
+        f"named_struct('column_name', '{c}', 'n_rows', n_rows, "
+        f"'n_nulls', CAST(n_rows - {c}__nn AS BIGINT), "
+        f"'min_num', {c}__min, 'max_num', {c}__max)"
+        for c in sorted(num_cols)
+    )
+    return spark.sql(f"""
+        WITH one AS (SELECT {', '.join(agg_items)} FROM {v})
+        SELECT inline(array({rows})) FROM one
+    """)

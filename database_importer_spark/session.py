@@ -182,6 +182,39 @@ def static_plan_session(spark: SparkSession) -> SparkSession:
     return child
 
 
+def pushdown_plan_session(spark: SparkSession) -> SparkSession:
+    """Child session for footer-stats aggregates: the DataSource V2
+    parquet reader with aggregate pushdown enabled, so a whole-table
+    MIN/MAX/COUNT over numeric atomic columns is answered from
+    row-group footer statistics — the scan returns one pre-aggregated
+    row per row group and never decodes a data page.
+
+    Scoped to a dedicated child because the engine default stays the
+    V1 parquet path everywhere else: the rest of the repo's
+    plan-shape guarantees (PushedFilters strings, bucketed-scan
+    metadata, sorted-bucket ordering) are pinned against V1 plans,
+    and pushdown itself is all-or-nothing per aggregate — one
+    unsupported expression (strings, timestamps, a filter, a
+    non-pushable function) silently reverts the query to a full
+    scan, so only plans KNOWN fully pushable (and plan-tested for a
+    non-empty PushedAggregation) run here. AQE is off for the same
+    reason as static_plan_session: a footer-stats aggregate has
+    nothing to re-plan."""
+    cached = getattr(spark, "_dbis_pushdown_child", None)
+    if cached is not None:
+        return cached
+    child = spark.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    # default list minus 'parquet' → parquet scans plan as V2 BatchScan
+    child.conf.set(
+        "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text"
+    )
+    child.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    child._dbis_pushdown_child = child
+    spark._dbis_pushdown_child = child
+    return child
+
+
 # Per-session cache registry (ADVICE r6): subsystem caches used to key
 # on id(spark), but a garbage-collected session's id can be recycled by
 # a brand-new session, which would then inherit DataFrames/temp-view

@@ -709,3 +709,15 @@ def test_pruned_topk_pushes_threshold_to_scan(spark):
     assert "TakeOrderedAndProject" in plan
     assert "GreaterThanOrEqual(o_totalprice" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_numeric_profile_aggregate_is_pushed_to_footers(spark):
+    """profile_numeric_stats_pushdown: the whole MIN/MAX/COUNT
+    aggregate must reach the V2 parquet scan (non-empty
+    PushedAggregation) — the scan then answers from row-group footer
+    stats without decoding data pages. Pushdown is all-or-nothing:
+    any unsupported expression would silently revert to a full scan,
+    which is exactly what this pin guards against."""
+    plan = physical(spark, "profile_numeric_stats_pushdown")
+    assert "BatchScan" in plan
+    assert "PushedAggregation: [COUNT(*)" in plan
