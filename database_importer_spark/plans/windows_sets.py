@@ -350,24 +350,31 @@ def limit_topk_pruned(spark, sf_dir):
     ~36 ms over 15M rows); Spark lacks it, so the engine synthesizes
     it from footer stats (operators/pruning.py — soundness argument
     and the 100 TB coordinator/zone-map framing there). Fixed shape →
-    static-plan session."""
+    static-plan session; single spark.sql declaration (the r6
+    py4j-constant shave: 157→109 ms at sf10, tighter spread). The
+    threshold literal is CAST(... AS DOUBLE) — a bare decimal literal
+    parses as DECIMAL, and repr(float) is shortest-roundtrip so the
+    cast reproduces the exact IEEE value the peek computed."""
     import os
 
     from database_importer_spark.operators.pruning import (
         topk_prune_threshold,
     )
+    from database_importer_spark.plans.registry import sql_view
 
     spark = static_plan_session(spark)
     thr = topk_prune_threshold(
         os.path.join(sf_dir, "orders.parquet"), "o_totalprice", 10
     )
-    o = t(spark, sf_dir, "orders")
-    if thr is not None:
-        o = o.filter(F.col("o_totalprice") >= F.lit(thr))
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .limit(10)
+    v = sql_view(spark, sf_dir, "orders")
+    where = (
+        f"WHERE o_totalprice >= CAST({thr!r} AS DOUBLE)"
+        if thr is not None
+        else ""
+    )
+    return spark.sql(
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM {v} {where} "
+        f"ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
     )
 
 
