@@ -230,20 +230,26 @@ def join_broadcast_hash(spark, sf_dir):
     Fixed-shape plan: runs on the static-plan session — AQE has no
     join side to flip and no skew to split here, and its per-stage
     scheduling round trips dominated the wall clock (433→288 ms at
-    sf0.1, tools/probe_floor.py; the saving is flat vs data size)."""
+    sf0.1, tools/probe_floor.py; the saving is flat vs data size).
+    Declared as ONE spark.sql call (r7): this row is pure per-query
+    constant at every sf (dims don't scale), so the ~8 py4j
+    DataFrame round trips were a measurable slice of it; BROADCAST
+    hints keep the identical 2-BHJ plan (pin unchanged)."""
+    from database_importer_spark.plans.registry import dec4_sum_sql, sql_view
+
     spark = static_plan_session(spark)
-    c = t(spark, sf_dir, "customer")
-    n = F.broadcast(t(spark, sf_dir, "nation"))
-    r = F.broadcast(t(spark, sf_dir, "region"))
-    return (
-        c.join(n, c.c_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            dec4_sum(F.col("c_acctbal")).alias("sum_acctbal"),
-        )
-    )
+    c = sql_view(spark, sf_dir, "customer")
+    n = sql_view(spark, sf_dir, "nation")
+    r = sql_view(spark, sf_dir, "region")
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name,
+               COUNT(*) AS n_customers,
+               {dec4_sum_sql('c_acctbal')} AS sum_acctbal
+        FROM {c} c
+        JOIN {n} n ON c.c_nationkey = n.n_nationkey
+        JOIN {r} r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r_name
+    """)
 
 
 @declare(

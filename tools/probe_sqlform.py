@@ -47,6 +47,23 @@ def q3_bucketed_df_form(spark, sf_dir):
     )
 
 
+def bhj_df_form(spark, sf_dir):
+    """join_broadcast_hash's former DataFrame-chain form (pre-r7)."""
+    spark = static_plan_session(spark)
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec4_sum(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
 def main():
     sf_dir = sys.argv[1]
     runs = 7
@@ -56,6 +73,8 @@ def main():
     forms = {
         "q3b_sql": lambda: REGISTRY["tpch_q3_bucketed"].fn(spark, sf_dir),
         "q3b_df": lambda: q3_bucketed_df_form(spark, sf_dir),
+        "bhj_sql": lambda: REGISTRY["join_broadcast_hash"].fn(spark, sf_dir),
+        "bhj_df": lambda: bhj_df_form(spark, sf_dir),
     }
     # warm both (layouts, views, codegen)
     for fn in forms.values():
