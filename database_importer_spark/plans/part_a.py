@@ -448,6 +448,176 @@ def upsert_merge_bucketed(spark, sf_dir):
     return m.merged(update=True, insert=True, strategy="full_outer")
 
 
+# Partition-scoped merge batch: one calendar month of updates +
+# inserts (the idempotent absolute-value convention of _U_SQL/_INS_SQL,
+# scoped so the batch touches exactly ONE of the table's ~80 month
+# partitions — the realistic shape: a CDC batch lands in the current
+# period, not uniformly across seven years of history).
+_PM_MONTH_LO = "1997-03-01"
+_PM_MONTH_HI = "1997-04-01"
+_PM_INS_DATE = "1997-03-15"
+
+_PART_MERGE_ORACLE = f"""
+    WITH u AS (
+        SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
+               'U' AS o_orderstatus, o_orderdate
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{_PM_MONTH_LO}'
+          AND o_orderdate <  TIMESTAMP '{_PM_MONTH_HI}'
+          AND o_orderkey % 10 = 0
+    ), s AS (
+        SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders)
+                   AS o_orderkey,
+               o_totalprice + 10.0 AS o_totalprice, 'N' AS o_orderstatus,
+               TIMESTAMP '{_PM_INS_DATE}' AS o_orderdate
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{_PM_MONTH_LO}'
+          AND o_orderdate <  TIMESTAMP '{_PM_MONTH_HI}'
+          AND o_orderkey % 100 = 0
+    )
+    SELECT a.o_orderkey, a.o_custkey,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN u.o_orderstatus ELSE a.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN u.o_totalprice ELSE a.o_totalprice END AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN u.o_orderdate ELSE a.o_orderdate END AS o_orderdate,
+           a.o_orderpriority
+    FROM orders a LEFT JOIN u ON a.o_orderkey = u.o_orderkey
+    UNION ALL
+    SELECT s.o_orderkey, NULL AS o_custkey, s.o_orderstatus, s.o_totalprice,
+           s.o_orderdate, NULL AS o_orderpriority
+    FROM s WHERE NOT EXISTS
+        (SELECT 1 FROM orders a WHERE a.o_orderkey = s.o_orderkey)
+    """
+
+_PM_PART_COL = "o_month"
+
+
+def _pm_month_of(df):
+    # partition value: yyyymm int derived from the order date
+    return (F.year(F.col("o_orderdate")) * 100 + F.month(F.col("o_orderdate"))).cast(
+        "int"
+    )
+
+
+def _pm_batch_df(spark, sf_dir):
+    """Month-scoped update ∪ insert batch, carrying o_orderdate so
+    every row maps to its target partition (merge contract). Values
+    are ABSOLUTE (orig + 10.0 from the immutable source parquet, not
+    the live table), which is what makes re-applying the merge
+    idempotent."""
+    o = t(spark, sf_dir, "orders")
+    in_month = (
+        F.col("o_orderdate") >= F.lit(_PM_MONTH_LO).cast("timestamp")
+    ) & (F.col("o_orderdate") < F.lit(_PM_MONTH_HI).cast("timestamp"))
+    upd = o.filter(in_month & (F.col("o_orderkey") % 10 == 0)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+        "o_orderdate",
+    )
+    mx = o.agg((F.max("o_orderkey") + F.lit(1)).alias("__key_base"))
+    ins = (
+        o.filter(in_month & (F.col("o_orderkey") % 100 == 0))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("__key_base")).alias("o_orderkey"),
+            (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(_PM_INS_DATE).cast("timestamp").alias("o_orderdate"),
+        )
+    )
+    return upd.unionByName(ins)
+
+
+def _pm_parts(spark, sf_dir):
+    """Shared by the declared key and its plan/filesystem tests:
+    (live table loc, full layout schema, pre-write merged frame)."""
+    from pyspark.sql import types as T
+
+    from database_importer_spark.operators.merge_partitioned import (
+        ensure_live_target,
+        merge_touched_only,
+        touched_partitions,
+    )
+
+    target_schema = t(spark, sf_dir, "orders").schema
+
+    def live_src():
+        o = t(spark, sf_dir, "orders")
+        return o.withColumn(_PM_PART_COL, _pm_month_of(o))
+
+    loc = ensure_live_target(
+        spark, sf_dir, "orders", live_src, _PM_PART_COL, "upsert_pm"
+    )
+    schema = T.StructType(
+        list(target_schema.fields)
+        + [T.StructField(_PM_PART_COL, T.IntegerType())]
+    )
+    batch = _pm_batch_df(spark, sf_dir)
+    touched = touched_partitions(
+        spark, batch, _pm_month_of(batch), ("upsert_merge_partitioned", loc)
+    )
+    out = merge_touched_only(
+        spark,
+        loc,
+        schema,
+        _PM_PART_COL,
+        _pm_month_of,
+        batch,
+        ["o_orderkey"],
+        touched,
+    )
+    return loc, schema, out
+
+
+@declare("upsert_merge_partitioned", oracle=_PART_MERGE_ORACLE)
+def upsert_merge_partitioned(spark, sf_dir):
+    """The flagship MERGE at its 100 TB shape (VERDICT r7 item 1):
+    copy-on-write against a month-partitioned live table, rewriting
+    ONLY the partitions the batch touches.
+
+    ``upsert_merge_full`` re-emits all target rows per merge because
+    the reference rewrites its DBMS table server-side
+    (importer.py:293-362) — at 100 TB a megabyte batch must not cost a
+    table rewrite. Here the batch (one month of updates + inserts,
+    carrying its partition column) drives the lakehouse copy-on-write
+    protocol on plain parquet: touched-partition set from the batch
+    (one bounded memoized job), a partition-PRUNED scan of only those
+    directories (PartitionFilters plan-pinned), broadcast-batch merge
+    arms over |partition| rows, and a dynamic-partition-overwrite
+    commit that replaces exactly those directories. Untouched
+    partitions are never scanned for the write and never rewritten
+    (filesystem-pinned). Write cost is |touched| + |batch| — a 10 TB
+    table with a one-month batch merges at one-month cost.
+
+    The merge is IDEMPOTENT (absolute SET values; re-applied inserts
+    become same-value updates), so the live table converges and every
+    invocation returns the same post-merge state — the returned frame
+    is the full final table, hash-matched against the pure-SQL oracle,
+    which is what proves untouched partitions kept their bytes."""
+    loc, schema, out = _pm_parts(spark, sf_dir)
+    from database_importer_spark.operators.merge_partitioned import (
+        commit_dynamic_overwrite,
+    )
+
+    commit_dynamic_overwrite(spark, out, _PM_PART_COL, loc)
+    # audit read of the FINAL table state (fresh read — the overwrite
+    # replaced files, so no cached leaf): full scan, but a plain
+    # column scan, not the merge's join work — the verification
+    # read a warehouse would do anyway.
+    final = spark.read.schema(schema).parquet(loc)
+    return final.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
 @declare("sink_jdbc_live_merge", oracle=_UPSERT_ORACLE)
 def sink_jdbc_live_merge(spark, sf_dir):
     """The LIVE JDBC data plane (reference importer.py:253-309),
