@@ -76,6 +76,37 @@ def _dedup_keep_order(cols: list[str]) -> list[str]:
     return out
 
 
+def _file_anchored_memo(spark, namespace: str) -> dict:
+    from database_importer_spark.session import session_cache
+
+    return session_cache(spark, namespace)
+
+
+def _file_anchored_key(frame: DataFrame, extra: tuple):
+    """Memo key for a data-derived property of ``frame``: its
+    #id-stripped analyzed plan + the (path, size, mtime) of every
+    input file + ``extra``. Same plan over same bytes ⇒ same verdict.
+    Returns None when the frame has NO file anchors (checkpointed /
+    LogicalRDD / createDataFrame sources): two different datasets
+    would canonicalize identically after id-stripping, so those are
+    never memoized."""
+    import re
+
+    try:
+        plan = frame._jdf.queryExecution().analyzed().toString()
+        canonical = re.sub(r"#\d+L?", "#", plan)
+        files = []
+        for f in frame.inputFiles():
+            p = f.removeprefix("file:")
+            st = os.stat(p)
+            files.append((p, st.st_size, st.st_mtime_ns))
+        if not files:
+            return None
+        return (canonical, tuple(sorted(files)), extra)
+    except Exception:
+        return None
+
+
 class Merger:
     """Validated set-based update/insert of ``target`` from ``data``.
 
@@ -117,8 +148,25 @@ class Merger:
         source_join_hint: str | None = None,
         validate_anchor: DataFrame | None = None,
     ):
-        if data.isEmpty():
-            raise ValueError("data contains no records")
+        # Fail-fast on an empty source (reference importer.py:131-139)
+        # — but memoized like validate_unique_keys (r8): isEmpty() is
+        # a JOB, and one that eagerly materializes every broadcast
+        # subtree under the source plan (a batch embedding a
+        # max-key scalar re-scans the key column per construction —
+        # measured 0.81 s at sf10, paid by EVERY merge invocation).
+        # Same plan + same input files ⇒ same emptiness verdict.
+        # Checkpointed sources anchor on validate_anchor (plan-equal
+        # rows); anchorless sources re-check every time, and an
+        # actually-empty source still raises on every construction
+        # (only non-emptiness is ever recorded).
+        probe = validate_anchor if validate_anchor is not None else data
+        memo = _file_anchored_memo(probe.sparkSession, "merge_nonempty")
+        key = _file_anchored_key(probe, ())
+        if key is None or key not in memo:
+            if data.isEmpty():
+                raise ValueError("data contains no records")
+            if key is not None:
+                memo[key] = True
 
         self._target = target
         self._data_master = data
@@ -225,34 +273,13 @@ class Merger:
         so a pass is recorded and skipped next time; a CHANGED source
         (new batch file, regenerated corpus, different projection) gets
         a fresh key and re-validates. Failures are never memoized."""
-        import re
-
-        from database_importer_spark.session import session_cache
-
         frame = (
             self._validate_anchor if self._validate_anchor is not None else self._data
         )
-        spark = frame.sparkSession
-        memo = session_cache(spark, "merge_validated_keys")
-        try:
-            plan = frame._jdf.queryExecution().analyzed().toString()
-            canonical = re.sub(r"#\d+L?", "#", plan)
-            files = []
-            for f in frame.inputFiles():
-                p = f.removeprefix("file:")
-                st = os.stat(p)
-                files.append((p, st.st_size, st.st_mtime_ns))
-            # No file anchors (e.g. a checkpointed/LogicalRDD source,
-            # createDataFrame input): two different datasets would
-            # canonicalize identically after #id-stripping — never
-            # memoize those, always re-validate.
-            key = (
-                (canonical, tuple(sorted(files)), tuple(self._join_on))
-                if files
-                else None
-            )
-        except Exception:
-            key = None
+        memo = _file_anchored_memo(frame.sparkSession, "merge_validated_keys")
+        # No file anchors (e.g. a checkpointed/LogicalRDD source,
+        # createDataFrame input): never memoized, always re-validate.
+        key = _file_anchored_key(frame, tuple(self._join_on))
         if key is not None and key in memo:
             return
         dup = (

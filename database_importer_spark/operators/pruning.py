@@ -42,8 +42,26 @@ from __future__ import annotations
 import os
 
 # threshold is a pure function of the file bytes — safe to memoize
-# process-wide on (abspath, size, mtime_ns, column, k).
-_THRESHOLD_CACHE: dict[tuple, float | None] = {}
+# process-wide on (abspath, size, mtime_ns, column, k). BOUNDED
+# (VERDICT r7 hygiene 3): keys embed file fingerprints, so a
+# long-lived process cycling corpora would otherwise grow it for
+# process lifetime. FIFO eviction is fine — the workload re-reads the
+# same handful of (table, column) pairs, and a miss just re-reads
+# footers.
+_CACHE_MAX = 64
+
+
+class _BoundedCache(dict):
+    def __setitem__(self, key, value):
+        if key not in self and len(self) >= _CACHE_MAX:
+            del self[next(iter(self))]
+        super().__setitem__(key, value)
+
+
+_THRESHOLD_CACHE: dict[tuple, float | None] = _BoundedCache()
+
+# exact footer MAX per (files fingerprint, column) — same class
+_FOOTER_MAX_CACHE: dict[tuple, int | None] = _BoundedCache()
 
 
 def _parquet_files(path: str) -> list[str]:
@@ -130,3 +148,51 @@ def topk_prune_threshold(path: str, col: str, k: int) -> float | None:
     thr = float(np.partition(allv, len(allv) - k)[len(allv) - k])
     _THRESHOLD_CACHE[key] = thr
     return thr
+
+
+def footer_exact_max(path: str, col: str) -> int | None:
+    """EXACT maximum of an integer column from parquet footer stats
+    alone — zero data pages, zero Spark jobs (the planner-side
+    zone-map read, same fenced builder-I/O class as
+    :func:`topk_prune_threshold`, memoized the same way).
+
+    Sound only when every row group carries min/max stats for ``col``
+    and the physical type is integral (int stats are exact by the
+    parquet spec; string stats may be truncated, float stats can be
+    NaN-polluted) — returns None otherwise and the caller falls back
+    to an in-plan aggregate. MAX over per-group maxes == table MAX
+    because stats cover all non-null values and SQL MAX ignores NULLs
+    (an all-NULL group simply reports no stats and is skipped; if ALL
+    groups are stats-less or all-NULL, fall back)."""
+    import pyarrow.parquet as pq
+
+    files = _parquet_files(path)
+    key = _fingerprint(files, col, -1)
+    if key in _FOOTER_MAX_CACHE:
+        return _FOOTER_MAX_CACHE[key]
+
+    out: int | None = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        schema = md.schema.to_arrow_schema()
+        try:
+            ci = schema.get_field_index(col)
+        except KeyError:
+            ci = -1
+        import pyarrow.types as pat
+
+        if ci < 0 or not pat.is_integer(schema.field(ci).type):
+            _FOOTER_MAX_CACHE[key] = None
+            return None
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i).column(ci)
+            st = rg.statistics
+            if st is None or not st.has_min_max:
+                if rg.num_values > 0:  # real values but no stats
+                    _FOOTER_MAX_CACHE[key] = None
+                    return None
+                continue
+            mx = int(st.max)
+            out = mx if out is None or mx > out else out
+    _FOOTER_MAX_CACHE[key] = out
+    return out

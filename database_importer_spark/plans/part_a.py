@@ -506,29 +506,53 @@ def _pm_batch_df(spark, sf_dir):
     every row maps to its target partition (merge contract). Values
     are ABSOLUTE (orig + 10.0 from the immutable source parquet, not
     the live table), which is what makes re-applying the merge
-    idempotent."""
+    idempotent.
+
+    ONE scan (an update∪insert twin would scan orders twice and the
+    max-key scalar a third time): %100 keys are a subset of %10 keys,
+    so the month-filtered %10 scan yields per row an array of [update
+    struct, insert struct when %100] — explode(array_compact(...)) is
+    codegen (the r4 CDC single-scan pattern; the lambda-HOF Generate
+    gotcha does not apply to array/when). The insert key base
+    (MAX(o_orderkey)+1) is answered from parquet FOOTER STATS
+    (operators/pruning.footer_exact_max — exact for integral columns,
+    memoized on file fingerprint, zero jobs zero data pages: the same
+    fenced planner-side zone-map class as the top-k threshold) with
+    an in-plan broadcast-scalar fallback when stats are absent."""
+    import os as _os
+
+    from database_importer_spark.operators.pruning import footer_exact_max
+
     o = t(spark, sf_dir, "orders")
     in_month = (
         F.col("o_orderdate") >= F.lit(_PM_MONTH_LO).cast("timestamp")
     ) & (F.col("o_orderdate") < F.lit(_PM_MONTH_HI).cast("timestamp"))
-    upd = o.filter(in_month & (F.col("o_orderkey") % 10 == 0)).select(
-        "o_orderkey",
+    base = o.filter(in_month & (F.col("o_orderkey") % 10 == 0))
+    mx = footer_exact_max(_os.path.join(sf_dir, "orders.parquet"), "o_orderkey")
+    if mx is not None:
+        key_base = F.lit(int(mx) + 1).cast("bigint")
+    else:
+        scalar = o.agg((F.max("o_orderkey") + F.lit(1)).alias("__key_base"))
+        base = base.crossJoin(F.broadcast(scalar))
+        key_base = F.col("__key_base")
+    upd_struct = F.struct(
+        F.col("o_orderkey").alias("o_orderkey"),
         (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
         F.lit("U").alias("o_orderstatus"),
-        "o_orderdate",
+        F.col("o_orderdate").alias("o_orderdate"),
     )
-    mx = o.agg((F.max("o_orderkey") + F.lit(1)).alias("__key_base"))
-    ins = (
-        o.filter(in_month & (F.col("o_orderkey") % 100 == 0))
-        .crossJoin(F.broadcast(mx))
-        .select(
-            (F.col("o_orderkey") + F.col("__key_base")).alias("o_orderkey"),
+    ins_struct = F.when(
+        F.col("o_orderkey") % 100 == 0,
+        F.struct(
+            (F.col("o_orderkey") + key_base).alias("o_orderkey"),
             (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
             F.lit("N").alias("o_orderstatus"),
             F.lit(_PM_INS_DATE).cast("timestamp").alias("o_orderdate"),
-        )
+        ),
     )
-    return upd.unionByName(ins)
+    return base.select(
+        F.explode(F.array_compact(F.array(upd_struct, ins_struct))).alias("r")
+    ).select("r.*")
 
 
 def _pm_parts(spark, sf_dir):
@@ -569,7 +593,7 @@ def _pm_parts(spark, sf_dir):
         ["o_orderkey"],
         touched,
     )
-    return loc, schema, out
+    return loc, schema, out, touched
 
 
 @declare("upsert_merge_partitioned", oracle=_PART_MERGE_ORACLE)
@@ -597,17 +621,18 @@ def upsert_merge_partitioned(spark, sf_dir):
     invocation returns the same post-merge state — the returned frame
     is the full final table, hash-matched against the pure-SQL oracle,
     which is what proves untouched partitions kept their bytes."""
-    loc, schema, out = _pm_parts(spark, sf_dir)
+    loc, schema, out, touched = _pm_parts(spark, sf_dir)
     from database_importer_spark.operators.merge_partitioned import (
         commit_dynamic_overwrite,
+        read_live_table,
     )
 
     commit_dynamic_overwrite(spark, out, _PM_PART_COL, loc)
-    # audit read of the FINAL table state (fresh read — the overwrite
-    # replaced files, so no cached leaf): full scan, but a plain
-    # column scan, not the merge's join work — the verification
-    # read a warehouse would do anyway.
-    final = spark.read.schema(schema).parquet(loc)
+    # audit read of the FINAL table state (committed bytes, not the
+    # pre-write frame): full scan, but a plain column scan, not the
+    # merge's join work — the verification read a warehouse would do
+    # anyway. Incremental listing: only the touched dirs re-list.
+    final = read_live_table(spark, loc, schema, _PM_PART_COL, touched)
     return final.select(
         "o_orderkey",
         "o_custkey",

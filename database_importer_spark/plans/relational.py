@@ -671,6 +671,65 @@ def agg_count_distinct(spark, sf_dir):
 
 
 @declare(
+    "agg_count_distinct_bucketed",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct_bucketed(spark, sf_dir):
+    """Exact distinct over a CUSTKEY-BUCKETED orders layout — the
+    layout twin of `agg_count_distinct` (same oracle), completing the
+    aggregation law on the distinct shape (VERDICT r7 item 2).
+
+    The two-level rewrite's first exchange carries one row per
+    distinct (priority, custkey) pair — already minimal, but still a
+    full shuffle of the pair stream. When the table is bucketed on
+    the DISTINCT key, hashpartitioning(custkey) satisfies the inner
+    GROUP BY (priority, custkey)'s clustering requirement outright
+    (equal custkeys are co-located, hence equal pairs are), so the
+    pair collapse runs IN PLACE off the scan with no exchange at all;
+    the only exchange in the plan moves the ~|distinct pairs| rows of
+    the second level onto 5 priority groups. At 100 TB the distinct
+    work rides the layout the way q18's groupBy(orderkey) does —
+    shuffle bytes ∝ distinct pairs of the PRUNED columns, with the
+    corpus never moving. Fixed shape → static-plan session;
+    plan-pinned single-exchange in tests/test_plans.py."""
+    from database_importer_spark.operators.partitioning import (
+        ensure_bucketed_layout,
+    )
+
+    spark = static_plan_session(spark)
+
+    def src():
+        return t(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_custkey"
+        )
+
+    table = ensure_bucketed_layout(
+        spark,
+        sf_dir,
+        "orders",
+        src,
+        keys=["o_custkey"],
+        memo_token="cd_custkey_orders",
+    )
+    return spark.sql(f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_customers,
+               CAST(SUM(__orders_per_pair) AS BIGINT) AS n_orders
+        FROM (
+            SELECT o_orderpriority, o_custkey, COUNT(*) AS __orders_per_pair
+            FROM {table}
+            GROUP BY o_orderpriority, o_custkey
+        )
+        GROUP BY o_orderpriority
+    """)
+
+
+@declare(
     "agg_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -48,18 +48,18 @@ def _partition_state(loc):
 
 def test_merge_scan_is_partition_pruned(spark):
     """The pre-write merged frame must read ONLY the touched
-    partitions: PartitionFilters on o_month at the live-table scan,
-    and no shuffle anywhere (broadcast batch arms)."""
-    loc, schema, out = _pm_parts(spark, SF)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    scan_lines = [
-        ln for ln in plan.splitlines() if "PartitionFilters" in ln
-    ]
-    assert scan_lines, "live-table scan lost its partition filters"
-    assert any("199703" in ln for ln in scan_lines), (
-        "touched-month value not in PartitionFilters: the write would "
-        "scan untouched partitions"
+    partitions — directory-scoped listing (the live table's untouched
+    dirs are never even listed), and no shuffle anywhere (broadcast
+    batch arms)."""
+    loc, schema, out, touched = _pm_parts(spark, SF)
+    assert touched == [199703]
+    live_files = [f for f in out.inputFiles() if "/o_month=" in f]
+    assert live_files, "merged frame reads no live-table partitions"
+    assert all("/o_month=199703/" in f for f in live_files), (
+        "write-job input lists untouched partitions: "
+        f"{[f for f in live_files if '/o_month=199703/' not in f][:3]}"
     )
+    plan = out._jdf.queryExecution().executedPlan().toString()
     # the 100 TB shape: batch broadcasts, the table side never shuffles
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
@@ -71,7 +71,7 @@ def test_untouched_partitions_never_rewritten(spark):
     mtimes) identical, while the touched month IS rewritten (dynamic
     overwrite replaces its files)."""
     REGISTRY[KEY].fn(spark, SF).collect()  # converge + locate layout
-    loc, _, _ = _pm_parts(spark, SF)
+    loc, _, _, _ = _pm_parts(spark, SF)
     before = _partition_state(loc)
     REGISTRY[KEY].fn(spark, SF).collect()
     after = _partition_state(loc)
