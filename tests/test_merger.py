@@ -133,6 +133,37 @@ def test_empty_data(spark, groceries):
         Merger(groceries, src, join_on=["id"])
 
 
+def test_empty_data_raises_every_time(spark, groceries):
+    """The r8 nonempty memo records only NON-emptiness: an empty
+    source must fail fast on EVERY construction (and a createDataFrame
+    source has no file anchors, so nothing is memoized either way)."""
+    src = spark.createDataFrame([], SCHEMA)
+    for _ in range(2):
+        with pytest.raises(ValueError, match="data contains no records"):
+            Merger(groceries, src, join_on=["id"])
+
+
+def test_nonempty_check_is_memoized_for_file_sources(spark, sf_dir):
+    """Construction-time isEmpty() is a job (it materializes every
+    broadcast under the source plan — 0.81 s/invocation at sf10);
+    for a file-anchored source the SECOND construction must launch
+    zero Spark jobs for the emptiness probe (validate_unique_keys is
+    not called here, so the only candidate job is isEmpty)."""
+    from database_importer_spark.sources.loader import load_table
+
+    target = load_table(spark, sf_dir, "orders")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    Merger(target, src, join_on=["o_orderkey"])  # may probe
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup())
+    Merger(target, src, join_on=["o_orderkey"])
+    assert set(st.getJobIdsForGroup()) == before, (
+        "memoized emptiness probe ran a job on re-construction"
+    )
+
+
 def test_join_on_required(spark, groceries):
     src = spark.createDataFrame(SEED, SCHEMA)
     with pytest.raises(ValueError, match=r"column\(s\) to join on are required"):
