@@ -186,23 +186,16 @@ def minhash_signatures_portable(
     return df.select(F.col(id_col), sig.alias("minhash_sig"))
 
 
-def lsh_candidate_pairs_portable(
+def lsh_banded_rows(
     sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Band buckets keyed by a FIXED-WIDTH 60-bit digest of each band
-    slice: the '_'-joined value string (concat_ws — portable, no
-    engine-specific hash) is collapsed map-side to
-    ``conv(substr(md5(s),1,15),16,10)`` — the same portable md5
-    trick as the signature's base hash — so the exchange and the
-    self-join carry (band_id, band_key BIGINT, id) instead of an
-    arbitrary-length string: fixed 8-byte keys on the wire and in
-    the join hash table at any corpus size. DuckDB computes the
-    IDENTICAL digest from the identical string
-    (``('0x'||substr(md5(s),1,15))::BIGINT``), so the candidate set
-    — including any 2^-60 digest collision — is the same on both
-    engines, and the downstream exact-Jaccard verify filters
-    spurious candidates anyway: the oracle stays exact."""
-    banded = sigs.select(
+    """(id, band_id, band_key) rows of a signature frame — the LSH
+    band INDEX representation: one fixed-width 60-bit md5 digest per
+    band slice (see lsh_candidate_pairs_portable for the portability
+    argument). This is the frame a steady-state dedup service
+    PERSISTS for its corpus: ~bands × |distinct docs| fixed-width
+    rows, maintained incrementally as batches are admitted."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -232,6 +225,52 @@ def lsh_candidate_pairs_portable(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
+
+
+def lsh_candidate_pairs_cross(
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+    id_a: str,
+    id_b: str,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """CROSS-FRAME LSH candidates: ids from ``sigs_a`` (the probing
+    batch) against ids from ``sigs_b`` (the indexed corpus) that share
+    any band bucket — the incremental-dedup probe. Work is
+    |batch banded rows| joined against the corpus index on fixed
+    8-byte (band_id, band_key); the corpus NEVER self-joins. Caller
+    guarantees the two id domains are disjoint."""
+    a = lsh_banded_rows(sigs_a, id_a, bands, rows_per_band).alias("a")
+    b = lsh_banded_rows(sigs_b, id_b, bands, rows_per_band).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col(f"a.{id_a}").alias(id_a), F.col(f"b.{id_b}").alias(id_b))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_portable(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Band buckets keyed by a FIXED-WIDTH 60-bit digest of each band
+    slice: the '_'-joined value string (concat_ws — portable, no
+    engine-specific hash) is collapsed map-side to
+    ``conv(substr(md5(s),1,15),16,10)`` — the same portable md5
+    trick as the signature's base hash — so the exchange and the
+    self-join carry (band_id, band_key BIGINT, id) instead of an
+    arbitrary-length string: fixed 8-byte keys on the wire and in
+    the join hash table at any corpus size. DuckDB computes the
+    IDENTICAL digest from the identical string
+    (``('0x'||substr(md5(s),1,15))::BIGINT``), so the candidate set
+    — including any 2^-60 digest collision — is the same on both
+    engines, and the downstream exact-Jaccard verify filters
+    spurious candidates anyway: the oracle stays exact."""
+    banded = lsh_banded_rows(sigs, id_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

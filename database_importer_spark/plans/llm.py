@@ -337,6 +337,135 @@ def llm_dedup_near_minhash(spark, sf_dir):
     )
 
 
+def _minhash_incremental_oracle(
+    num_hashes=32, bands=8, seed=7, threshold=0.3
+) -> str:
+    """DuckDB twin of the batch-vs-corpus LSH probe: both sides use
+    the identical md5+affine constants as _minhash_oracle, so the
+    cross-frame candidate set and Jaccard verify agree bit-for-bit."""
+    from database_importer_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_affine_params,
+    )
+
+    params = minhash_affine_params(num_hashes, seed)
+    r = num_hashes // bands
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hh, h -> (h*{a}+{b}) % {MINHASH_PRIME}))"
+        for (a, b) in params
+    )
+
+    def side(name, pred):
+        band_rows = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"('0x' || substr(md5(array_to_string(sig[{b * r + 1}:{b * r + r}], '_')), 1, 15))::BIGINT AS bv "
+            f"FROM sig_{name}"
+            for b in range(bands)
+        )
+        return f"""
+    reps_{name} AS (
+        SELECT text, min(doc_id) AS doc_id FROM documents
+        WHERE {pred} GROUP BY text
+    ),
+    sh_{name} AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(length(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+               )) AS shingle_arr
+        FROM reps_{name}
+    ),
+    hs_{name} AS (
+        SELECT doc_id, shingle_arr,
+               list_transform(shingle_arr,
+                   s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hh
+        FROM sh_{name}
+    ),
+    sig_{name} AS (SELECT doc_id, [{sig_terms}] AS sig FROM hs_{name}),
+    banded_{name} AS ({band_rows})"""
+
+    return f"""
+    WITH {side("b", "doc_id % 10 = 0")},
+    {side("c", "doc_id % 10 <> 0")},
+    cand AS (
+        SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+        FROM banded_b b JOIN banded_c c
+          ON b.band_id = c.band_id AND b.bv = c.bv
+    )
+    SELECT cand.batch_doc, cand.corpus_doc,
+           CAST(length(list_intersect(sa.shingle_arr, sb.shingle_arr)) AS DOUBLE)
+           / CAST(length(list_distinct(sa.shingle_arr || sb.shingle_arr)) AS DOUBLE)
+           AS jaccard
+    FROM cand
+    JOIN sh_b sa ON sa.doc_id = cand.batch_doc
+    JOIN sh_c sb ON sb.doc_id = cand.corpus_doc
+    WHERE CAST(length(list_intersect(sa.shingle_arr, sb.shingle_arr)) AS DOUBLE)
+          / CAST(length(list_distinct(sa.shingle_arr || sb.shingle_arr)) AS DOUBLE)
+          >= {threshold}
+    ORDER BY batch_doc, corpus_doc
+    """
+
+
+@declare("llm_dedup_near_incremental", oracle=_minhash_incremental_oracle())
+def llm_dedup_near_incremental(spark, sf_dir):
+    """Incremental NEAR-dedup — the steady-state shape of a 100 TB
+    dedup service, completing the pair `llm_dedup_incremental` (exact
+    content-key) started: a new crawl BATCH probes the corpus's
+    persisted MinHash LSH band INDEX; pairs that share any band
+    bucket get the exact-Jaccard verify; output = (batch rep, corpus
+    rep, jaccard ≥ 0.3) — the batch docs that near-duplicate existing
+    corpus content. EXACT oracle: the same portable md5+affine family
+    as `llm_dedup_near_minhash`, baked into both engines on BOTH
+    sides of the probe.
+
+    Scale shape: the corpus side is `lsh_banded_rows` — bands ×
+    |distinct docs| fixed-width (band_id, 60-bit digest, id) rows, the
+    frame a production service PERSISTS and maintains incrementally
+    as batches are admitted (here rebuilt per run; the build is
+    corpus-linear and happens once per corpus lifetime, like
+    `llm_dedup_incremental`'s digest index). Per batch: collapse
+    exact dups to a min-id representative FIRST (work ∝ distinct
+    batch content), signature + banded rows ∝ |batch|, one equi join
+    against the index on fixed 8-byte keys, Jaccard verify touches
+    shingles for CANDIDATES only. The corpus never self-joins and its
+    text never moves — probe cost is batch-proportional at any corpus
+    size. Deterministic split: doc_id % 10 plays the batch (disjoint
+    id domains, so every probe hit is a real cross-side pair;
+    an exact text match surfaces as jaccard = 1.0)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    ckept = corpus.join(
+        D.exact_dedup(corpus, "text", "doc_id").select("doc_id"), "doc_id"
+    )
+    bkept = batch.join(
+        D.exact_dedup(batch, "text", "doc_id").select("doc_id"), "doc_id"
+    )
+    sh_c = D.shingles(ckept, "text", 3).select("doc_id", "shingle_arr")
+    sh_b = D.shingles(bkept, "text", 3).select("doc_id", "shingle_arr")
+    sig_c = D.minhash_signatures_portable(sh_c, "doc_id").withColumnRenamed(
+        "doc_id", "corpus_doc"
+    )
+    sig_b = D.minhash_signatures_portable(sh_b, "doc_id").withColumnRenamed(
+        "doc_id", "batch_doc"
+    )
+    cand = D.lsh_candidate_pairs_cross(
+        sig_b, sig_c, "batch_doc", "corpus_doc", bands=8, rows_per_band=4
+    )
+    sa = sh_b.select(F.col("doc_id").alias("batch_doc"), F.col("shingle_arr").alias("sh_a"))
+    sb = sh_c.select(F.col("doc_id").alias("corpus_doc"), F.col("shingle_arr").alias("sh_b"))
+    j = cand.join(sa, "batch_doc").join(sb, "corpus_doc")
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
+    return (
+        j.select("batch_doc", "corpus_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+        .orderBy("batch_doc", "corpus_doc")
+    )
+
+
 def _simhash_oracle(nbits=60, hamming_max=3) -> str:
     """DuckDB twin of simhash_portable + simhash_band_pairs: the
     md5-derived 60-bit token hash parses identically, the per-bit

@@ -106,6 +106,57 @@ def test_lsh_pairs_subset_of_exact(spark, docs):
     assert len(lsh) > 0
 
 
+def test_lsh_cross_probe_consistent_with_self_join(spark, docs):
+    """lsh_candidate_pairs_cross (the incremental-dedup probe) must
+    produce exactly the cross-side subset of the single-frame LSH
+    candidate set: splitting a corpus into (batch, index) and probing
+    finds the same batch-vs-corpus candidates the full self-join
+    finds — no pairs invented, none lost at the frame boundary. And
+    an identical text planted on both sides MUST surface (all bands
+    collide)."""
+    sh = D.shingles(docs, "text", 3).select("doc_id", "shingle_arr")
+    sigs = D.minhash_signatures_portable(sh, "doc_id")
+    full = set(
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs_portable(sigs, "doc_id", 8, 4).collect()
+    )
+    batch = sigs.filter(F.col("doc_id") % 2 == 0).withColumnRenamed(
+        "doc_id", "batch_doc"
+    )
+    corpus = sigs.filter(F.col("doc_id") % 2 != 0).withColumnRenamed(
+        "doc_id", "corpus_doc"
+    )
+    cross = set(
+        (r["batch_doc"], r["corpus_doc"])
+        for r in D.lsh_candidate_pairs_cross(
+            batch, corpus, "batch_doc", "corpus_doc", 8, 4
+        ).collect()
+    )
+    expected = set(
+        (a, b) if a % 2 == 0 else (b, a)
+        for (a, b) in full
+        if (a % 2) != (b % 2)
+    )
+    assert cross == expected
+
+    # planted identical text across the split → guaranteed hit
+    planted = spark.createDataFrame(
+        [(1000, "x y z w v u t s r q"), (1001, "x y z w v u t s r q")],
+        "doc_id bigint, text string",
+    )
+    shp = D.shingles(planted, "text", 3).select("doc_id", "shingle_arr")
+    sp = D.minhash_signatures_portable(shp, "doc_id")
+    hit = D.lsh_candidate_pairs_cross(
+        sp.filter(F.col("doc_id") == 1000).withColumnRenamed("doc_id", "batch_doc"),
+        sp.filter(F.col("doc_id") == 1001).withColumnRenamed("doc_id", "corpus_doc"),
+        "batch_doc",
+        "corpus_doc",
+        8,
+        4,
+    ).collect()
+    assert [(r["batch_doc"], r["corpus_doc"]) for r in hit] == [(1000, 1001)]
+
+
 def test_lsh_params_s_curve_math():
     """Parameter rule: chosen (b, r) must clear the recall floor at
     the threshold, within the hash budget, preferring steep curves."""

@@ -54,6 +54,8 @@ ANNOTATED = {
     "tpch_q6_partitioned": "Q6 over the ship-year-partitioned, shipdate-range-clustered lineitem layout (r6): PartitionFilters prune 6/7 of the corpus at plan time; the residual range predicate prunes pages via the clustering's sharp min/max stats.",
     "scd2_versioned_merge": "SCD2 merge (r6 hardening): three explicit broadcast joins (left_outer close/carry + semi-probe of the same broadcast frame + anti for brand-new keys) — the dimension NEVER shuffles; a full-outer broadcast hint could never bind.",
     "profile_numeric_stats_pushdown": "Footer-stats profiler (r7): the whole MIN/MAX/COUNT aggregate pushed into the V2 parquet scan (PushedAggregation) — answered from row-group footer statistics, zero data pages decoded.",
+    "agg_count_distinct_bucketed": "Distinct over the custkey-bucketed layout (r8): hashpartitioning(custkey) satisfies the inner GROUP BY (priority, custkey) outright — the pair collapse runs IN PLACE off the scan; the only exchange carries 5 priority groups.",
+    "upsert_merge_partitioned": "Partition-scoped copy-on-write MERGE (r8), PRE-WRITE frame: the live table enters through a directory-scoped read of ONLY the touched month (untouched partitions never listed), the batch broadcasts through the standard two-arm merge, and the dynamic-partition-overwrite commit rewrites exactly the touched directories.",
 }
 
 
@@ -68,8 +70,17 @@ def main() -> None:
         "These shapes are frozen as assertions in `tests/test_plans.py`.",
         "",
     ]
+    # upsert_merge_partitioned's declared fn WRITES then returns the
+    # audit readback; the plan worth freezing is the pre-write merged
+    # frame (partition-scoped scan + broadcast arms).
+    def _pm_prewrite(spark, sf_dir):
+        from database_importer_spark.plans.part_a import _pm_parts
+
+        return _pm_parts(spark, sf_dir)[2]
+
+    special = {"upsert_merge_partitioned": _pm_prewrite}
     for key, note in ANNOTATED.items():
-        df = REGISTRY[key].fn(spark, SF)
+        df = special.get(key, REGISTRY[key].fn)(spark, SF)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
