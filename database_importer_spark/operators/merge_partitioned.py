@@ -67,12 +67,23 @@ def ensure_live_target(
     Unlike ``ensure_partitioned_layout`` this directory is WRITABLE —
     merges mutate it in place — so the name carries the ``owner``
     token instead of a canonical-plan hash (the owner promises a fixed
-    derivation, and exclusive ownership). The source-file fingerprint
-    stays in the name: a regenerated corpus gets a fresh live table.
-    First build is cross-process safe under the layout lock; the
-    only-delete-incomplete policy applies (a complete table — _SUCCESS
-    present — is reused, never rebuilt, which is what lets the merged
-    state persist across invocations)."""
+    derivation) AND the process id: the table is PROCESS-SCOPED.
+    Shared layouts are immutable and safely reused across processes;
+    a mutable table is not — two concurrent processes merging one
+    table race (the first full-registry cpus7+sf0.01 parallel sweep
+    caught exactly this: process A's dynamic-overwrite commit deleted
+    partition files process B had already planned its scan over →
+    FAILED_READ_FILE mid-job). Real systems serialize concurrent
+    writers with a lakehouse commit protocol (optimistic concurrency
+    on a commit log); on plain parquet the honest contract is ONE
+    writer, which process scoping enforces. The source-file
+    fingerprint stays in the name (a regenerated corpus gets a fresh
+    table), and stale tables left by DEAD processes are garbage-
+    collected on first build so repeated sweeps don't accumulate
+    corpus-sized scratch."""
+    import re
+    import shutil
+
     p = os.path.join(sf_dir, f"{source}.parquet")
     st = os.stat(p)
     fp = f"{st.st_size}_{st.st_mtime_ns}"
@@ -84,12 +95,27 @@ def ensure_live_target(
         c if c.isalnum() else "_" for c in os.path.abspath(sf_dir)
     ).lower()
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    loc = os.path.join(wh, f"dbis_live_{owner}_{source}_{dir_tag}_{fp}")
+    pid = os.getpid()
+    loc = os.path.join(
+        wh, f"dbis_live_{owner}_p{pid}_{source}_{dir_tag}_{fp}"
+    )
     if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        # GC sibling live tables whose owning process is dead (pid no
+        # longer exists). Only ever touches dbis_live_* dirs with a
+        # dead pid — never a shared layout, never a live peer's table.
+        if os.path.isdir(wh):
+            for d in os.listdir(wh):
+                m = re.match(rf"dbis_live_{re.escape(owner)}_p(\d+)_", d)
+                if not m or int(m.group(1)) == pid:
+                    continue
+                try:
+                    os.kill(int(m.group(1)), 0)
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+                except PermissionError:
+                    pass  # pid alive under another user: leave it
         with _layout_lock(loc):
             if not os.path.exists(os.path.join(loc, "_SUCCESS")):
-                import shutil
-
                 if os.path.exists(loc):
                     shutil.rmtree(loc, ignore_errors=True)
                 df = df_factory()

@@ -16,6 +16,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from database_importer_spark.operators.asof import asof_join
+from database_importer_spark.scratch import scratch_dir
 from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 from database_importer_spark.session import static_plan_session
 
@@ -101,7 +102,7 @@ def scan_csv_json(spark, sf_dir):
     round-tripped from the region table. Explicit schema matters at
     scale: inference is a full extra pass over the input."""
     r = t(spark, sf_dir, "region")
-    base = os.path.join(tempfile.gettempdir(), "dbis_scan_csv_json")
+    base = scratch_dir("scan_csv_json")
     csv_p, json_p = base + ".csv", base + ".json"
     r.write.mode("overwrite").option("header", True).csv(csv_p)
     r.write.mode("overwrite").json(json_p)
@@ -125,7 +126,7 @@ def sink_parquet_partitioned(spark, sf_dir):
     touches one directory — partition pruning is the 100 TB analogue
     of the reference's per-table staging."""
     o = t(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.gettempdir(), "dbis_sink_parquet")
+    out = scratch_dir("sink_parquet")
     o.withColumn("order_year", F.year("o_orderdate")).write.mode(
         "overwrite"
     ).partitionBy("order_year").parquet(out)
@@ -890,7 +891,7 @@ def scan_orc_roundtrip(spark, sf_dir):
     Hive-lineage warehouses; the plan is identical in shape to the
     parquet scan (BatchScan orc ... ReadSchema pruned)."""
     n = t(spark, sf_dir, "nation")
-    path = os.path.join(tempfile.gettempdir(), "dbis_scan_orc")
+    path = scratch_dir("scan_orc")
     n.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("n_regionkey").agg(
@@ -927,7 +928,7 @@ def scan_schema_evolution(spark, sf_dir):
     without a rewrite of old files). At 100 TB this is metadata-only:
     no data file is touched, the union happens in the scan."""
     n = t(spark, sf_dir, "nation")
-    base = os.path.join(tempfile.gettempdir(), "dbis_schema_evo")
+    base = scratch_dir("schema_evo")
     n.filter(F.col("n_regionkey") < 2).select("n_nationkey", "n_name").write.mode(
         "overwrite"
     ).parquet(base + "/b=1")
@@ -977,7 +978,7 @@ def scan_csv_malformed(spark, sf_dir):
         .alias("k"),
         "n_name",
     )
-    base = os.path.join(tempfile.gettempdir(), "dbis_scan_csv_malformed")
+    base = scratch_dir("scan_csv_malformed")
     staged.write.mode("overwrite").option("header", True).csv(base)
     back = spark.read.schema(
         "n_nationkey int, n_name string, _corrupt string"
@@ -1029,7 +1030,7 @@ def sink_dynamic_partition_overwrite(spark, sf_dir):
         "o_orderkey",
         "o_totalprice",
     )
-    base = os.path.join(tempfile.gettempdir(), "dbis_dyn_overwrite")
+    base = scratch_dir("dyn_overwrite")
     o.write.mode("overwrite").partitionBy("yr").parquet(base)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1072,7 +1073,7 @@ def maintenance_compact_small_files(spark, sf_dir):
     you'd compact per-partition with AQE coalescing (or a table
     format's OPTIMIZE) — the rewrite-and-audit shape is the same."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey")
-    base = os.path.join(tempfile.gettempdir(), "dbis_compact")
+    base = scratch_dir("compact")
     frag, compact = base + "/frag", base + "/compact"
     li.repartition(64).write.mode("overwrite").parquet(frag)
     n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
@@ -1115,7 +1116,7 @@ def sink_observed_metrics(spark, sf_dir):
         dec4_sum(F.col("l_extendedprice")).alias("price_sum"),
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_discount"),
     )
-    base = os.path.join(tempfile.gettempdir(), "dbis_observed_sink")
+    base = scratch_dir("observed_sink")
     observed.write.mode("overwrite").parquet(base)  # metrics ride this job
     m = obs.get
     return spark.createDataFrame(

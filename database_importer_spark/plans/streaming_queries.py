@@ -118,7 +118,9 @@ def stream_late_data(spark, sf_dir):
     """Watermark drop semantics under a 2-batch replay (bulk, then
     stragglers): late rows beyond the watermark are excluded.
     Timing/batch-boundary-dependent → rows-only."""
-    return W.late_data_replay(spark, sf_dir, tempfile.gettempdir())
+    from database_importer_spark.scratch import scratch_dir
+
+    return W.late_data_replay(spark, sf_dir, scratch_dir("late_data"))
 
 
 @declare(

@@ -117,6 +117,41 @@ def test_touched_partitions_collect_is_memoized(spark):
     assert first == second == [199703]
 
 
+def test_live_table_is_process_scoped_and_gcs_dead_siblings(spark):
+    """The live table is process-scoped (concurrent sweeps sharing one
+    mutable table raced: a peer's dynamic-overwrite commit deleted
+    files this process had already planned over — caught by the first
+    parallel cpus7+sf0.01 sweep). The loc must embed our pid, and a
+    sibling table left by a DEAD process must be garbage-collected on
+    first build while a live peer's table is left alone."""
+    from database_importer_spark.operators.merge_partitioned import (
+        _ENSURE_MEMO,
+        ensure_live_target,
+    )
+
+    loc, _, _, _ = _pm_parts(spark, SF)
+    assert f"_p{os.getpid()}_" in os.path.basename(loc)
+
+    wh = os.path.dirname(loc)
+    dead = os.path.join(wh, "dbis_live_upsert_pm_p999999999_orders_x_1_2")
+    os.makedirs(dead, exist_ok=True)
+    alive = os.path.join(wh, f"dbis_live_upsert_pm_p1_orders_x_1_2")
+    os.makedirs(alive, exist_ok=True)  # pid 1 (init) is always alive
+    # force the ensure path to run its GC sweep (fresh memo + no
+    # _SUCCESS check short-circuit for OUR table is fine — GC runs
+    # before the lock when the table is missing; use a fresh owner)
+    for k in [k for k in list(_ENSURE_MEMO) if k[0] == "live" and k[1] == "upsert_pm"]:
+        _ENSURE_MEMO.pop(k, None)
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)
+    loc2, _, _, _ = _pm_parts(spark, SF)
+    assert loc2 == loc
+    assert not os.path.exists(dead), "dead-pid sibling not collected"
+    assert os.path.exists(alive), "live peer's table was deleted"
+    shutil.rmtree(alive, ignore_errors=True)
+
+
 def test_null_partition_value_rejected(spark):
     """Merge contract: every batch row must map to a concrete target
     partition — a NULL partition value is a named error, not a silent
