@@ -84,6 +84,24 @@ def test_count_distinct_has_no_expand(spark):
     assert plan.count("HashAggregate") >= 3  # partial+final × two levels
 
 
+def test_count_distinct_bucketed_single_small_exchange(spark):
+    """agg_count_distinct_bucketed (VERDICT r7 item 2): the custkey-
+    bucketed layout satisfies the inner GROUP BY (priority, custkey)
+    clustering outright, so the pair collapse runs IN PLACE off the
+    scan — the ONLY exchange in the whole plan is the 5-priority-group
+    second level, and the bucketed scan is actually used."""
+    plan = physical(spark, "agg_count_distinct_bucketed")
+    assert "Expand" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Bucketed: true" in plan
+    # the exchange sits ABOVE the pair collapse: the first (deepest)
+    # aggregate pair runs before any exchange in the tree string
+    first_ex = plan.index("Exchange")
+    assert plan.count("HashAggregate", first_ex) >= 2, (
+        "pair collapse did not run before the exchange"
+    )
+
+
 def test_double_fast_path_agg_is_partial_then_final(spark):
     """agg_hash_groupby_double: plain double aggregation with map-side
     partials — no Expand, no decimal accumulators in the plan."""
