@@ -1,0 +1,373 @@
+"""Snapshot table: a minimal lakehouse commit protocol on plain
+parquet — versioned manifests, file-granular copy-on-write MERGE,
+optimistic concurrency, time travel, snapshot-isolated readers, and
+vacuum.
+
+Why this exists. ``upsert_merge_partitioned`` already rewrites only
+the partitions a batch touches, but its commit primitive (dynamic
+partition overwrite) DELETES the replaced directory in place — it is
+not crash-atomic and a concurrent reader of the old files fails
+mid-job (the r8 cross-process sweep caught exactly that:
+FAILED_READ_FILE when a peer's commit deleted files this process had
+planned over; the stopgap was process-scoping the table). Delta Lake
+and Iceberg solve both problems with the same structure, and this
+module implements that structure natively since the container ships
+no lakehouse jars (carried verdict item since r3):
+
+* data files are IMMUTABLE and never deleted by a commit — a commit
+  only writes NEW files plus a NEW manifest;
+* a manifest (``_manifests/v{N}.json``) lists every live data file
+  with file-level partition-column min/max stats (Iceberg-style file
+  pruning metadata: the planner prunes files from the manifest before
+  the engine lists or reads anything);
+* commits are ATOMIC and OPTIMISTICALLY CONCURRENT: the new manifest
+  is staged to a temp name and published with ``os.link`` — link(2)
+  fails with EEXIST if a peer already claimed the version, and the
+  loser recomputes against the winner's state and retries (exactly
+  Delta's commit-log protocol, with the local filesystem's atomic
+  link standing in for the object-store conditional put);
+* readers resolve a VERSION once and plan over its immutable file
+  list — snapshot isolation: a concurrent commit can never change or
+  delete the files under a running query, so the cross-process
+  FAILED_READ_FILE class is structurally impossible here, and any
+  historical version stays readable (time travel) until ``vacuum``
+  explicitly retires it.
+
+Scale notes (100 TB lens): per-commit work is |touched files| +
+|batch| — both the data rewritten and the metadata written scale with
+the commit, not the table. Reads plan from the manifest: file pruning
+is a driver-side metadata scan (the same fenced zone-map class as
+operators/pruning — bounded by the manifest, no data pages), and the
+engine receives an explicit pruned file list, so an untouched
+partition costs nothing even at listing level. The driver-side
+manifest json is the single-coordinator simplification of Iceberg's
+avro manifest tree; at real scale the file list would be chunked, but
+the protocol (immutable files + atomic version swap + optimistic
+retry) is the one production systems run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from database_importer_spark.operators.merge import Merger
+from database_importer_spark.operators.partitioning import _layout_lock
+from database_importer_spark.operators.pruning import _BoundedCache
+
+_FORMAT = "dbis-snapshot/1"
+
+# manifests are immutable once published (link(2) never overwrites),
+# so caching on (table root, version) is sound process-wide. Bounded:
+# a long sweep cycling corpora must not grow it for process lifetime.
+_MANIFEST_CACHE: dict[tuple, dict] = _BoundedCache()
+
+
+def _manifest_dir(loc: str) -> str:
+    return os.path.join(loc, "_manifests")
+
+
+def _manifest_path(loc: str, version: int) -> str:
+    return os.path.join(_manifest_dir(loc), f"v{version:08d}.json")
+
+
+def latest_version(loc: str) -> int | None:
+    """Highest published manifest version, or None for no table."""
+    d = _manifest_dir(loc)
+    if not os.path.isdir(d):
+        return None
+    best = None
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            best = v if best is None else max(best, v)
+    return best
+
+
+def load_manifest(loc: str, version: int) -> dict:
+    key = (os.path.abspath(loc), version)
+    hit = _MANIFEST_CACHE.get(key)
+    if hit is None:
+        with open(_manifest_path(loc, version)) as f:
+            hit = json.load(f)
+        if hit.get("format") != _FORMAT:
+            raise ValueError(f"not a {_FORMAT} manifest: {key}")
+        _MANIFEST_CACHE[key] = hit
+    return hit
+
+
+def _publish_manifest(loc: str, manifest: dict) -> None:
+    """Atomically publish ``manifest`` as its version. Raises
+    FileExistsError if a concurrent writer already claimed the
+    version — the caller's optimistic-retry point."""
+    d = _manifest_dir(loc)
+    os.makedirs(d, exist_ok=True)
+    final = _manifest_path(loc, manifest["version"])
+    tmp = final + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, final)  # atomic, fails on EEXIST: the CAS
+    finally:
+        os.unlink(tmp)
+
+
+def _file_entries(commit_dir: str, loc: str, part_col: str) -> list[dict]:
+    """Manifest entries for every parquet file Spark wrote into
+    ``commit_dir``: relative path, row count, and the partition
+    column's min/max from the parquet FOOTER (driver-side metadata
+    read bounded by the files of ONE commit — the fenced zone-map
+    class of operators/pruning; no data pages are read)."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for name in sorted(os.listdir(commit_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(commit_dir, name)
+        md = pq.ParquetFile(path).metadata
+        if md.num_rows == 0:
+            continue
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+            part_col
+        ]
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        entries.append(
+            {
+                "path": os.path.relpath(path, loc),
+                "rows": md.num_rows,
+                "min": lo,
+                "max": hi,
+            }
+        )
+    return entries
+
+
+def _write_commit_files(
+    df: DataFrame,
+    loc: str,
+    version: int,
+    part_col: str,
+    cluster_col=None,
+    files: int | None = None,
+) -> list[dict]:
+    """Write ``df`` as the data files of commit ``version`` and return
+    their manifest entries. Files go under a per-(version, pid) commit
+    dir so a losing optimistic writer's orphans are identifiable; the
+    layout is range-clustered on (partition column, cluster column) so
+    each file covers a CONTIGUOUS partition-value slice — tight footer
+    min/max = sharp manifest pruning (the r6 partitioned-layout law:
+    range placement gives fan-out AND sharp stats). ``files`` pins the
+    fan-out (an explicit repartition count bypasses AQE's small-
+    partition coalescing — needed when the table is small relative to
+    the advisory size but pruning granularity still matters); None
+    lets AQE size the files, the right default for merge slices."""
+    commit_dir = os.path.join(loc, "data", f"c{version:08d}_{os.getpid()}")
+    cols = [F.col(part_col)] + ([F.col(cluster_col)] if cluster_col else [])
+    head = [files] if files is not None else []
+    df.repartitionByRange(*head, *cols).write.mode("overwrite").parquet(
+        commit_dir
+    )
+    return _file_entries(commit_dir, loc, part_col)
+
+
+def create_snapshot_table(
+    spark: SparkSession,
+    loc: str,
+    df_factory,
+    part_col: str,
+    cluster_col: str | None = None,
+    files: int | None = None,
+) -> int:
+    """Create the table (version 0) if no manifest exists yet; returns
+    the latest version either way. Cross-process safe: the layout lock
+    serializes builders, the v0 link is the commit point, and a table
+    is only ever created ONCE (unlike layouts the contents then
+    diverge by design, so no fingerprint re-derivation)."""
+    v = latest_version(loc)
+    if v is not None:
+        return v
+    with _layout_lock(loc):
+        v = latest_version(loc)
+        if v is not None:
+            return v
+        df = df_factory()
+        entries = _write_commit_files(
+            df, loc, 0, part_col, cluster_col, files=files
+        )
+        manifest = {
+            "format": _FORMAT,
+            "version": 0,
+            "parent": None,
+            "part_col": part_col,
+            "schema": df.schema.jsonValue(),
+            "files": entries,
+        }
+        _publish_manifest(loc, manifest)
+    return 0
+
+
+def snapshot_files(
+    loc: str, version: int, part_values: list | None = None
+) -> tuple[dict, list[str]]:
+    """Resolve (manifest, absolute file paths) for a version, pruning
+    files by partition-column values against the manifest's file-level
+    min/max stats — metadata-only, before any engine listing or IO.
+    A file with absent stats is conservatively kept."""
+    m = load_manifest(loc, version)
+    files = m["files"]
+    if part_values is not None:
+        vals = set(part_values)
+        files = [
+            e
+            for e in files
+            if e["min"] is None
+            or any(e["min"] <= v <= e["max"] for v in vals)
+        ]
+    return m, [os.path.join(loc, e["path"]) for e in files]
+
+
+def read_snapshot(
+    spark: SparkSession,
+    loc: str,
+    version: int | None = None,
+    part_values: list | None = None,
+) -> DataFrame:
+    """Plan over one immutable snapshot: explicit schema (no footer
+    re-inference — the r6 footer-cache lesson) over the manifest's
+    pruned file list. The returned plan can never observe a concurrent
+    commit: its files are immutable until vacuum retires the version."""
+    if version is None:
+        version = latest_version(loc)
+        if version is None:
+            raise FileNotFoundError(f"no snapshot table at {loc}")
+    m, paths = snapshot_files(loc, version, part_values)
+    schema = T.StructType.fromJson(m["schema"])
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def merge_snapshot_commit(
+    spark: SparkSession,
+    loc: str,
+    batch: DataFrame,
+    join_on: list[str],
+    part_of,  # callable: merged DataFrame -> partition-value Column
+    touched: list,
+    max_attempts: int = 5,
+) -> int:
+    """File-granular copy-on-write MERGE, committed optimistically.
+
+    Reads ONLY the files whose stats ranges intersect the batch's
+    touched partition values (manifest pruning — untouched files are
+    not listed, read, or rewritten; they are carried by reference into
+    the child manifest). The merged slice is written as NEW files and
+    the commit is the atomic manifest link; on a version conflict the
+    loser deletes its orphaned files and recomputes against the
+    winner's state (bounded retries). Work per commit = |touched
+    files| + |batch|, metadata per commit = one manifest — both scale
+    with the commit, not the table."""
+    for _ in range(max_attempts):
+        base_v = latest_version(loc)
+        if base_v is None:
+            raise FileNotFoundError(f"no snapshot table at {loc}")
+        m, _ = snapshot_files(loc, base_v)
+        part_col = m["part_col"]
+        schema = T.StructType.fromJson(m["schema"])
+        vals = set(touched)
+        candidates = [
+            e
+            for e in m["files"]
+            if e["min"] is None
+            or any(e["min"] <= v <= e["max"] for v in vals)
+        ]
+        cand_paths = [os.path.join(loc, e["path"]) for e in candidates]
+        if cand_paths:
+            base = spark.read.schema(schema).parquet(*cand_paths)
+        else:
+            base = spark.createDataFrame([], schema)
+        merged = Merger(
+            base.drop(part_col), batch, join_on=join_on
+        ).merged(update=True, insert=True)
+        out = merged.withColumn(part_col, part_of(merged))
+        version = base_v + 1
+        new_files = _write_commit_files(out, loc, version, part_col)
+        keep = {e["path"] for e in candidates}
+        manifest = {
+            "format": _FORMAT,
+            "version": version,
+            "parent": base_v,
+            "part_col": part_col,
+            "schema": m["schema"],
+            "files": [e for e in m["files"] if e["path"] not in keep]
+            + new_files,
+        }
+        try:
+            _publish_manifest(loc, manifest)
+            return version
+        except FileExistsError:
+            # a peer claimed this version first: drop our orphaned
+            # commit dir and recompute against the winner's state.
+            shutil.rmtree(
+                os.path.join(loc, "data", f"c{version:08d}_{os.getpid()}"),
+                ignore_errors=True,
+            )
+    raise RuntimeError(
+        f"snapshot merge on {loc}: lost the optimistic-commit race "
+        f"{max_attempts} times"
+    )
+
+
+def vacuum_snapshot(loc: str, keep_latest: int = 1) -> tuple[int, int]:
+    """Retire history: keep the newest ``keep_latest`` manifests,
+    delete older manifests and every data file no retained manifest
+    references. Returns (manifests deleted, data files deleted).
+    This is the ONLY operation that deletes data files — running it
+    breaks time travel to the retired versions (by definition) and,
+    as in real lakehouses, must respect a retention window longer
+    than any concurrent reader."""
+    latest = latest_version(loc)
+    if latest is None:
+        return (0, 0)
+    keep_versions = [
+        v
+        for v in range(max(0, latest - keep_latest + 1), latest + 1)
+        if os.path.exists(_manifest_path(loc, v))
+    ]
+    live: set[str] = set()
+    for v in keep_versions:
+        live |= {e["path"] for e in load_manifest(loc, v)["files"]}
+    dropped_m = 0
+    for v in range(0, keep_versions[0]):
+        p = _manifest_path(loc, v)
+        if os.path.exists(p):
+            os.unlink(p)
+            _MANIFEST_CACHE.pop((os.path.abspath(loc), v), None)
+            dropped_m += 1
+    dropped_f = 0
+    data_root = os.path.join(loc, "data")
+    for dirpath, _dirs, names in os.walk(data_root):
+        for name in names:
+            p = os.path.join(dirpath, name)
+            if name.endswith(".parquet") and os.path.relpath(p, loc) not in live:
+                os.unlink(p)
+                dropped_f += 1
+    return (dropped_m, dropped_f)

@@ -1,0 +1,212 @@
+"""Snapshot table (operators/snapshot_table.py) — protocol pins.
+
+The declared keys' correctness (full-state hash vs the SQL oracles) is
+covered by the check_oracles sweep; these tests pin the PROTOCOL
+claims the module makes:
+- commits are copy-on-write: untouched files are carried by IDENTITY
+  into the child manifest and never deleted or rewritten;
+- time travel: every historical version stays byte-exact after
+  mutation;
+- snapshot isolation: a reader planned over version N collects
+  correctly AFTER a concurrent commit (the FAILED_READ_FILE class the
+  dynamic-overwrite table had to be process-scoped for is structurally
+  impossible here);
+- optimistic concurrency: a writer that loses the version race
+  retries against the winner's state, cleans up its orphan files, and
+  lands the correct content;
+- manifest pruning: a partition-scoped read hands the engine strictly
+  fewer files (inputFiles pin), metadata-only;
+- vacuum retires exactly the unreferenced history and nothing the
+  retained versions need.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from database_importer_spark.operators import snapshot_table as st  # noqa: E402
+from database_importer_spark.plans import REGISTRY  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mk_table(spark, tmp_path, n=40):
+    """Synthetic table: k (key), val, m = k // 10 (partition col)."""
+    loc = str(tmp_path / "tbl")
+
+    def src():
+        df = spark.range(n).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        return df.withColumn("m", F.floor(F.col("k") / 10).cast("int"))
+
+    v = st.create_snapshot_table(spark, loc, src, "m", "k", files=4)
+    assert v == 0
+    return loc
+
+
+def _part_of(df):
+    return F.floor(F.col("k") / 10).cast("int")
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k int, val string")
+
+
+def _state(spark, loc, version=None):
+    df = st.read_snapshot(spark, loc, version=version)
+    return {r["k"]: (r["val"], r["m"]) for r in df.collect()}
+
+
+def test_create_and_read_roundtrip(spark, tmp_path):
+    loc = _mk_table(spark, tmp_path)
+    got = _state(spark, loc)
+    assert len(got) == 40
+    assert got[7] == ("v7", 0) and got[35] == ("v35", 3)
+    # idempotent create: second call is a no-op returning the version
+    assert st.create_snapshot_table(spark, loc, None, "m") == 0
+
+
+def test_merge_commit_is_copy_on_write(spark, tmp_path):
+    loc = _mk_table(spark, tmp_path)
+    m0 = st.load_manifest(loc, 0)
+    batch = _batch(spark, [(15, "UPD"), (105, "NEW")])  # months 1, 10
+    v = st.merge_snapshot_commit(
+        spark, loc, batch, ["k"], _part_of, touched=[1, 10]
+    )
+    assert v == 1
+    m1 = st.load_manifest(loc, 1)
+    f0 = {e["path"] for e in m0["files"]}
+    f1 = {e["path"] for e in m1["files"]}
+    untouched0 = {
+        e["path"] for e in m0["files"] if not (e["min"] <= 1 <= e["max"])
+    }
+    # untouched files carried by IDENTITY; touched files replaced
+    assert untouched0 <= f1
+    assert f1 - f0  # new files exist
+    # nothing was deleted: every v0 file is still on disk
+    for p in f0:
+        assert os.path.exists(os.path.join(loc, p))
+    got = _state(spark, loc)
+    assert got[15] == ("UPD", 1) and got[105] == ("NEW", 10)
+    assert got[16] == ("v16", 1) and len(got) == 41
+
+
+def test_time_travel_after_commits(spark, tmp_path):
+    loc = _mk_table(spark, tmp_path)
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "A")]), ["k"], _part_of, touched=[0]
+    )
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "B")]), ["k"], _part_of, touched=[0]
+    )
+    assert _state(spark, loc, 0)[5] == ("v5", 0)
+    assert _state(spark, loc, 1)[5] == ("A", 0)
+    assert _state(spark, loc, 2)[5] == ("B", 0)
+
+
+def test_snapshot_reader_survives_concurrent_commit(spark, tmp_path):
+    """The FAILED_READ_FILE pin: plan over version 0, commit a merge
+    that rewrites its month, THEN collect the old plan — snapshot
+    isolation means the old files still exist and the read returns
+    the version-0 content."""
+    loc = _mk_table(spark, tmp_path)
+    old_reader = st.read_snapshot(spark, loc, version=0)
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "MUT")]), ["k"], _part_of, touched=[0]
+    )
+    got = {r["k"]: r["val"] for r in old_reader.collect()}
+    assert got[5] == "v5" and len(got) == 40
+
+
+def test_optimistic_conflict_retries_and_cleans_orphans(
+    spark, tmp_path, monkeypatch
+):
+    loc = _mk_table(spark, tmp_path)
+    real_write = st._write_commit_files
+    fired = {"done": False}
+
+    def racing_write(df, loc_, version, part_col, cluster_col=None):
+        files = real_write(df, loc_, version, part_col, cluster_col)
+        if not fired["done"]:
+            fired["done"] = True
+            # a peer claims the same version first: same files as the
+            # parent, bumped version — a pure-metadata competing commit
+            parent = st.load_manifest(loc_, version - 1)
+            st._publish_manifest(
+                loc_, {**parent, "version": version, "parent": version - 1}
+            )
+        return files
+
+    monkeypatch.setattr(st, "_write_commit_files", racing_write)
+    v = st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(15, "UPD")]), ["k"], _part_of, touched=[1]
+    )
+    assert v == 2  # lost v1 to the peer, landed v2
+    assert _state(spark, loc)[15] == ("UPD", 1)
+    # the losing attempt's commit dir was removed
+    assert not os.path.exists(
+        os.path.join(loc, "data", f"c{1:08d}_{os.getpid()}")
+    )
+    # and no file of the loser leaked into the manifest
+    for e in st.load_manifest(loc, 2)["files"]:
+        assert os.path.exists(os.path.join(loc, e["path"]))
+
+
+def test_manifest_pruning_hands_engine_fewer_files(spark, tmp_path):
+    loc = _mk_table(spark, tmp_path, n=400)  # months 0..39 over 4 files
+    _m, all_files = st.snapshot_files(loc, 0)
+    _m, pruned = st.snapshot_files(loc, 0, part_values=[3])
+    assert len(all_files) > 1
+    assert len(pruned) < len(all_files)
+    df = st.read_snapshot(spark, loc, part_values=[3]).filter(F.col("m") == 3)
+    assert sorted(set(os.path.basename(f) for f in df.inputFiles())) == sorted(
+        set(os.path.basename(p) for p in pruned)
+    )
+    assert {r["k"] for r in df.collect()} == set(range(30, 40))
+
+
+def test_vacuum_retires_unreferenced_history(spark, tmp_path):
+    loc = _mk_table(spark, tmp_path)
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "A")]), ["k"], _part_of, touched=[0]
+    )
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "B")]), ["k"], _part_of, touched=[0]
+    )
+    dropped_m, dropped_f = st.vacuum_snapshot(loc, keep_latest=1)
+    assert dropped_m == 2 and dropped_f > 0
+    # latest still reads exactly
+    assert _state(spark, loc)[5] == ("B", 0)
+    # retired versions are gone
+    with pytest.raises(FileNotFoundError):
+        st.load_manifest(loc, 0)
+    # every retained manifest file exists
+    for e in st.load_manifest(loc, st.latest_version(loc))["files"]:
+        assert os.path.exists(os.path.join(loc, e["path"]))
+
+
+def test_declared_prune_read_is_file_pruned(spark):
+    """The declared pruned-read key hands the engine strictly fewer
+    files than the full snapshot (manifest metadata pruning)."""
+    from database_importer_spark.plans.part_a import _snap_ensure_merged
+
+    loc, touched = _snap_ensure_merged(spark, SF)
+    v = st.latest_version(loc)
+    _m, all_files = st.snapshot_files(loc, v)
+    pruned_df = REGISTRY["table_snapshot_prune_read"].fn(spark, SF)
+    assert 0 < len(pruned_df.inputFiles()) < len(all_files)
+
+
+def test_declared_merge_converges(spark):
+    """Idempotent convergence: two fresh commits of the same batch
+    produce identical full states (and bump the version each time)."""
+    key = REGISTRY["upsert_merge_snapshot"].fn
+    a = {r["o_orderkey"]: r for r in key(spark, SF).collect()}
+    b = {r["o_orderkey"]: r for r in key(spark, SF).collect()}
+    assert a == b
