@@ -35,6 +35,7 @@ HEADLINE = [
     "upsert_merge_bucketed",
     "upsert_merge_delta_rows",
     "upsert_merge_partitioned",
+    "upsert_merge_snapshot",
     "tpch_q3_shipping_priority",
     "tpch_q3_bucketed",
     "tpch_q5_local_supplier_volume",
@@ -56,6 +57,7 @@ HEADLINE = [
     "agg_events_rollup_partitioned",
     "limit_topk_global",
     "limit_topk_pruned",
+    "table_snapshot_prune_read",
     "fn_math_core",
     "llm_dedup_exact",
     "llm_similarity_topk",

@@ -265,6 +265,43 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def merge_snapshot_prewrite(
+    spark: SparkSession,
+    loc: str,
+    batch: DataFrame,
+    join_on: list[str],
+    part_of,
+    touched: list,
+) -> tuple[DataFrame, dict, list[dict]]:
+    """The merge's pre-write frame against the CURRENT latest version:
+    manifest-pruned base (only files whose stats range intersects the
+    touched values — selected driver-side, metadata-only) merged with
+    the broadcast batch, partition column re-derived. Returns (frame,
+    base manifest, candidate file entries) — split out so plan dumps
+    and tests can pin the shape without performing a commit."""
+    base_v = latest_version(loc)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot table at {loc}")
+    m, _ = snapshot_files(loc, base_v)
+    part_col = m["part_col"]
+    schema = T.StructType.fromJson(m["schema"])
+    vals = set(touched)
+    candidates = [
+        e
+        for e in m["files"]
+        if e["min"] is None or any(e["min"] <= v <= e["max"] for v in vals)
+    ]
+    cand_paths = [os.path.join(loc, e["path"]) for e in candidates]
+    if cand_paths:
+        base = spark.read.schema(schema).parquet(*cand_paths)
+    else:
+        base = spark.createDataFrame([], schema)
+    merged = Merger(base.drop(part_col), batch, join_on=join_on).merged(
+        update=True, insert=True
+    )
+    return merged.withColumn(part_col, part_of(merged)), m, candidates
+
+
 def merge_snapshot_commit(
     spark: SparkSession,
     loc: str,
@@ -286,28 +323,11 @@ def merge_snapshot_commit(
     files| + |batch|, metadata per commit = one manifest — both scale
     with the commit, not the table."""
     for _ in range(max_attempts):
-        base_v = latest_version(loc)
-        if base_v is None:
-            raise FileNotFoundError(f"no snapshot table at {loc}")
-        m, _ = snapshot_files(loc, base_v)
+        out, m, candidates = merge_snapshot_prewrite(
+            spark, loc, batch, join_on, part_of, touched
+        )
         part_col = m["part_col"]
-        schema = T.StructType.fromJson(m["schema"])
-        vals = set(touched)
-        candidates = [
-            e
-            for e in m["files"]
-            if e["min"] is None
-            or any(e["min"] <= v <= e["max"] for v in vals)
-        ]
-        cand_paths = [os.path.join(loc, e["path"]) for e in candidates]
-        if cand_paths:
-            base = spark.read.schema(schema).parquet(*cand_paths)
-        else:
-            base = spark.createDataFrame([], schema)
-        merged = Merger(
-            base.drop(part_col), batch, join_on=join_on
-        ).merged(update=True, insert=True)
-        out = merged.withColumn(part_col, part_of(merged))
+        base_v = m["version"]
         version = base_v + 1
         new_files = _write_commit_files(out, loc, version, part_col)
         keep = {e["path"] for e in candidates}

@@ -739,3 +739,15 @@ def test_numeric_profile_aggregate_is_pushed_to_footers(spark):
     plan = physical(spark, "profile_numeric_stats_pushdown")
     assert "BatchScan" in plan
     assert "PushedAggregation: [COUNT(*)" in plan
+
+
+def test_snapshot_merge_never_shuffles_the_table(spark):
+    """upsert_merge_snapshot: the merge arms over the manifest-pruned
+    base must be broadcast joins only — no SortMergeJoin and no hash
+    exchange anywhere in the commit's write plan or the final-state
+    read. (The table side is file-pruned to the touched slice; the
+    batch is the broadcast side; the full-state read is a plain
+    union of immutable file scans.)"""
+    plan = physical(spark, "upsert_merge_snapshot")
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
