@@ -356,6 +356,56 @@ def merge_snapshot_commit(
     )
 
 
+def compact_snapshot_commit(
+    spark: SparkSession,
+    loc: str,
+    files: int | None = None,
+    max_attempts: int = 5,
+) -> int:
+    """Table maintenance as a commit: rewrite the CURRENT content into
+    ``files`` range-clustered files and publish it as a new version —
+    the lakehouse OPTIMIZE. Content is bit-identical by construction
+    (same rows, new physical layout); concurrent readers are never
+    blocked or broken (their version's files are untouched), and a
+    concurrent MERGE that wins the version race simply makes the
+    compactor recompute over the merged state. Small-file entropy from
+    many incremental commits is the known failure mode of any
+    copy-on-write table at scale; this is the standing answer, and
+    vacuum afterwards reclaims the superseded files once no retained
+    version references them."""
+    for _ in range(max_attempts):
+        base_v = latest_version(loc)
+        if base_v is None:
+            raise FileNotFoundError(f"no snapshot table at {loc}")
+        m, _ = snapshot_files(loc, base_v)
+        part_col = m["part_col"]
+        df = read_snapshot(spark, loc, version=base_v)
+        version = base_v + 1
+        new_files = _write_commit_files(
+            df, loc, version, part_col, files=files
+        )
+        manifest = {
+            "format": _FORMAT,
+            "version": version,
+            "parent": base_v,
+            "part_col": part_col,
+            "schema": m["schema"],
+            "files": new_files,
+        }
+        try:
+            _publish_manifest(loc, manifest)
+            return version
+        except FileExistsError:
+            shutil.rmtree(
+                os.path.join(loc, "data", f"c{version:08d}_{os.getpid()}"),
+                ignore_errors=True,
+            )
+    raise RuntimeError(
+        f"snapshot compact on {loc}: lost the optimistic-commit race "
+        f"{max_attempts} times"
+    )
+
+
 def vacuum_snapshot(loc: str, keep_latest: int = 1) -> tuple[int, int]:
     """Retire history: keep the newest ``keep_latest`` manifests,
     delete older manifests and every data file no retained manifest

@@ -826,6 +826,29 @@ def table_snapshot_prune_read(spark, sf_dir):
     )
 
 
+@declare("table_compact_snapshot", oracle=_PART_MERGE_ORACLE)
+def table_compact_snapshot(spark, sf_dir):
+    """Table maintenance as a commit — the lakehouse OPTIMIZE
+    (operators/snapshot_table.compact_snapshot_commit): the merged
+    table's content is rewritten into fewer range-clustered files and
+    published as a NEW version; rows are bit-identical by construction
+    so the post-compaction full state hash-matches the same merge
+    oracle, which is exactly what the key proves. Concurrent readers
+    of any prior version are untouched (immutable files), and a racing
+    MERGE just makes the compactor recompute — the small-file entropy
+    every copy-on-write table accumulates is retired without ever
+    blocking the table. At 100 TB this runs per-partition on a
+    schedule; the protocol is the same."""
+    from database_importer_spark.operators.snapshot_table import (
+        compact_snapshot_commit,
+        read_snapshot,
+    )
+
+    loc, _touched = _snap_ensure_merged(spark, sf_dir)
+    v = compact_snapshot_commit(spark, loc, files=8)
+    return read_snapshot(spark, loc, version=v).select(*_SNAP_OUT_COLS)
+
+
 @declare("sink_jdbc_live_merge", oracle=_UPSERT_ORACLE)
 def sink_jdbc_live_merge(spark, sf_dir):
     """The LIVE JDBC data plane (reference importer.py:253-309),

@@ -210,3 +210,21 @@ def test_declared_merge_converges(spark):
     a = {r["o_orderkey"]: r for r in key(spark, SF).collect()}
     b = {r["o_orderkey"]: r for r in key(spark, SF).collect()}
     assert a == b
+
+
+def test_compact_preserves_content_and_reduces_files(spark, tmp_path):
+    loc = _mk_table(spark, tmp_path, n=400)
+    # several small commits accrete small files
+    for k, val, month in [(15, "A", 1), (105, "B", 10), (355, "C", 35)]:
+        st.merge_snapshot_commit(
+            spark, loc, _batch(spark, [(k, val)]), ["k"], _part_of,
+            touched=[month],
+        )
+    pre_v = st.latest_version(loc)
+    _m, pre_files = st.snapshot_files(loc, pre_v)
+    v = st.compact_snapshot_commit(spark, loc, files=2)
+    _m, post_files = st.snapshot_files(loc, v)
+    assert v == pre_v + 1 and len(post_files) < len(pre_files)
+    assert _state(spark, loc, v) == _state(spark, loc, pre_v)
+    # prior versions still read (compaction deleted nothing)
+    assert _state(spark, loc, 0)[15] == ("v15", 1)
