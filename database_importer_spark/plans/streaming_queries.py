@@ -189,11 +189,50 @@ def stream_upsert_merge(spark, sf_dir):
     return streaming_upsert(spark, target, src, keys=["o_orderkey"], batches=4)
 
 
+@declare("stream_snapshot_ingest", oracle=None)  # wired below
+def stream_snapshot_ingest(spark, sf_dir):
+    """Streaming ingest into the SNAPSHOT table — the scale completion
+    streaming_upsert's docstring promises ("at 100 TB the rewrite
+    becomes a table-format MERGE commit"): the month-scoped
+    update∪insert batch replayed as 4 checkpointed micro-batches, each
+    landing as an ATOMIC manifest commit (streaming/upsert.
+    streaming_snapshot_ingest) — per-batch work manifest-pruned to the
+    batch's touched months, one snapshot version per micro-batch,
+    readers never disturbed mid-commit. Keys are unique across the
+    stream so the per-batch merges compose to the one-shot merge
+    (hash-matches the same oracle as upsert_merge_snapshot), and
+    absolute SET values make a replayed micro-batch — streaming's
+    at-least-once failure mode — CONVERGE instead of corrupting."""
+    from database_importer_spark.operators.snapshot_table import read_snapshot
+    from database_importer_spark.plans.part_a import (
+        _SNAP_OUT_COLS,
+        _pm_month_of,
+        _snap_batch_touched,
+        _snap_create,
+        _snap_loc,
+    )
+    from database_importer_spark.streaming.upsert import (
+        streaming_snapshot_ingest,
+    )
+
+    loc = _snap_loc(spark, sf_dir)
+    _snap_create(spark, sf_dir, loc)
+    batch, _touched = _snap_batch_touched(spark, sf_dir, loc)
+    streaming_snapshot_ingest(
+        spark, loc, batch, ["o_orderkey"], _pm_month_of, batches=4
+    )
+    return read_snapshot(spark, loc).select(*_SNAP_OUT_COLS)
+
+
 def _wire_upsert_oracle():
-    from database_importer_spark.plans.part_a import _UPSERT_ORACLE
+    from database_importer_spark.plans.part_a import (
+        _PART_MERGE_ORACLE,
+        _UPSERT_ORACLE,
+    )
     from database_importer_spark.plans.registry import REGISTRY
 
     REGISTRY["stream_upsert_merge"].oracle = _UPSERT_ORACLE
+    REGISTRY["stream_snapshot_ingest"].oracle = _PART_MERGE_ORACLE
 
 
 _wire_upsert_oracle()

@@ -228,3 +228,28 @@ def test_compact_preserves_content_and_reduces_files(spark, tmp_path):
     assert _state(spark, loc, v) == _state(spark, loc, pre_v)
     # prior versions still read (compaction deleted nothing)
     assert _state(spark, loc, 0)[15] == ("v15", 1)
+
+
+def test_streaming_ingest_commits_per_micro_batch(spark, tmp_path):
+    """One atomic snapshot commit per micro-batch; a REPLAY of the
+    same stream (at-least-once delivery) converges to the same state
+    instead of corrupting (absolute SET values)."""
+    from database_importer_spark.streaming.upsert import (
+        streaming_snapshot_ingest,
+    )
+
+    loc = _mk_table(spark, tmp_path)
+    src = _batch(spark, [(5, "S5"), (15, "S15"), (105, "S105"), (205, "S205")])
+    versions = streaming_snapshot_ingest(
+        spark, loc, src, ["k"], _part_of, batches=2
+    )
+    assert versions == [1, 2]
+    got = _state(spark, loc)
+    assert got[5] == ("S5", 0) and got[205] == ("S205", 20)
+    assert len(got) == 42
+    # replay: same source streamed again (fresh checkpoint) converges
+    versions2 = streaming_snapshot_ingest(
+        spark, loc, src, ["k"], _part_of, batches=2
+    )
+    assert versions2 == [3, 4]
+    assert _state(spark, loc) == got
