@@ -356,6 +356,66 @@ def merge_snapshot_commit(
     )
 
 
+def evolve_snapshot_schema(
+    spark: SparkSession,
+    loc: str,
+    new_fields: list[tuple[str, str]],
+    max_attempts: int = 5,
+    exist_ok: bool = False,
+) -> int:
+    """ADD COLUMN as a METADATA-ONLY commit: the child manifest
+    carries the widened schema and the PARENT'S file list unchanged —
+    zero data files written or rewritten, no matter the table size
+    (the Delta/Iceberg schema-evolution contract). Readers resolve the
+    manifest schema, and the parquet reader fills the new columns with
+    NULL for every pre-evolution file; files written by later commits
+    carry real values. ``new_fields`` is [(name, spark DDL type)];
+    new columns are nullable by definition (a non-null default would
+    require a rewrite — exactly what this commit exists to avoid).
+    Raises ValueError if a column already exists, unless ``exist_ok``
+    — the concurrent-idempotent mode: fields already present are
+    skipped (a racing peer applied the same evolution; losing the
+    version CAS to an identical change is success, not failure), and
+    if nothing remains to add the current version is returned with no
+    commit."""
+    for _ in range(max_attempts):
+        base_v = latest_version(loc)
+        if base_v is None:
+            raise FileNotFoundError(f"no snapshot table at {loc}")
+        m = load_manifest(loc, base_v)
+        schema = T.StructType.fromJson(m["schema"])
+        to_add = []
+        for name, ddl in new_fields:
+            if name in schema.names:
+                if not exist_ok:
+                    raise ValueError(
+                        f"column '{name}' already exists at {loc}"
+                    )
+                continue
+            to_add.append((name, ddl))
+        if exist_ok and not to_add:
+            return base_v
+        for name, ddl in to_add:
+            schema = schema.add(name, ddl, True)
+        manifest = {
+            "format": _FORMAT,
+            "version": base_v + 1,
+            "parent": base_v,
+            "part_col": m["part_col"],
+            "schema": schema.jsonValue(),
+            "files": m["files"],
+        }
+        try:
+            _publish_manifest(loc, manifest)
+            return base_v + 1
+        except FileExistsError:
+            continue  # pure metadata: nothing to clean, just recompute
+    raise RuntimeError(
+        f"snapshot schema evolution on {loc}: lost the optimistic-commit "
+        f"race {max_attempts} times"
+    )
+
+
 def compact_snapshot_commit(
     spark: SparkSession,
     loc: str,

@@ -849,6 +849,38 @@ def table_compact_snapshot(spark, sf_dir):
     return read_snapshot(spark, loc, version=v).select(*_SNAP_OUT_COLS)
 
 
+@declare(
+    "table_schema_evolution",
+    oracle=f"""
+    SELECT m.*, CAST(NULL AS VARCHAR) AS o_note
+    FROM ({_PART_MERGE_ORACLE}) m
+    """,
+)
+def table_schema_evolution(spark, sf_dir):
+    """ADD COLUMN as a METADATA-ONLY snapshot commit
+    (operators/snapshot_table.evolve_snapshot_schema): the child
+    manifest carries the widened schema over the PARENT'S unchanged
+    file list — zero data rewritten no matter the table size (the
+    Delta/Iceberg schema-evolution contract; file-identity pinned in
+    tests). The post-evolution read resolves the manifest schema and
+    the parquet reader fills the new column with NULL for every
+    pre-evolution file — hash-matched against the merged-state oracle
+    widened with a NULL column, which is what proves both halves:
+    old data readable under the new schema, new column all-NULL.
+    Idempotent across invocations (evolve only if the column is
+    absent), so concurrent sweeps converge."""
+    from database_importer_spark.operators.snapshot_table import (
+        evolve_snapshot_schema,
+        read_snapshot,
+    )
+
+    loc, _touched = _snap_ensure_merged(spark, sf_dir)
+    evolve_snapshot_schema(
+        spark, loc, [("o_note", "string")], exist_ok=True
+    )
+    return read_snapshot(spark, loc).select(*_SNAP_OUT_COLS, "o_note")
+
+
 @declare("sink_jdbc_live_merge", oracle=_UPSERT_ORACLE)
 def sink_jdbc_live_merge(spark, sf_dir):
     """The LIVE JDBC data plane (reference importer.py:253-309),

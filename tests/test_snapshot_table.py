@@ -253,3 +253,47 @@ def test_streaming_ingest_commits_per_micro_batch(spark, tmp_path):
     )
     assert versions2 == [3, 4]
     assert _state(spark, loc) == got
+
+
+def test_schema_evolution_is_metadata_only(spark, tmp_path):
+    """ADD COLUMN: child manifest carries the widened schema over the
+    PARENT'S file list by identity — zero data files written; old
+    files read NULL for the new column; a later merge writes real
+    values; exist_ok makes a repeated identical evolution a no-op."""
+    loc = _mk_table(spark, tmp_path)
+    m0 = st.load_manifest(loc, 0)
+    pre_data = sorted(
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(os.path.join(loc, "data"))
+        for f in fs
+    )
+    v = st.evolve_snapshot_schema(spark, loc, [("note", "string")])
+    assert v == 1
+    m1 = st.load_manifest(loc, 1)
+    assert m1["files"] == m0["files"]  # file list identical
+    post_data = sorted(
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(os.path.join(loc, "data"))
+        for f in fs
+    )
+    assert post_data == pre_data  # zero data files written
+    df = st.read_snapshot(spark, loc)
+    assert df.schema["note"].dataType.simpleString() == "string"
+    assert df.filter(F.col("note").isNotNull()).count() == 0
+    # duplicate add: error by default, no-op under exist_ok
+    with pytest.raises(ValueError):
+        st.evolve_snapshot_schema(spark, loc, [("note", "string")])
+    assert (
+        st.evolve_snapshot_schema(
+            spark, loc, [("note", "string")], exist_ok=True
+        )
+        == 1
+    )
+    # a post-evolution merge writes the column for its rows only
+    batch = spark.createDataFrame([(15, "UPD", "hello")], "k int, val string, note string")
+    st.merge_snapshot_commit(
+        spark, loc, batch, ["k"], _part_of, touched=[1]
+    )
+    rows = {r["k"]: r["note"] for r in st.read_snapshot(spark, loc).collect()}
+    assert rows[15] == "hello"
+    assert sum(1 for n in rows.values() if n is not None) == 1
