@@ -58,6 +58,8 @@ HEADLINE = [
     "limit_topk_global",
     "limit_topk_pruned",
     "table_snapshot_prune_read",
+    "table_delete_where",
+    "table_delete_mor",
     "fn_math_core",
     "llm_dedup_exact",
     "llm_similarity_topk",

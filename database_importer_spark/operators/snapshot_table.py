@@ -48,6 +48,7 @@ retry) is the one production systems run.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -167,10 +168,13 @@ def _write_commit_files(
     part_col: str,
     cluster_col=None,
     files: int | None = None,
+    subdir: str | None = None,
 ) -> list[dict]:
     """Write ``df`` as the data files of commit ``version`` and return
     their manifest entries. Files go under a per-(version, pid) commit
-    dir so a losing optimistic writer's orphans are identifiable; the
+    dir (optionally suffixed — a commit may write several disjoint
+    slices, e.g. the DELETE edges) so a losing optimistic writer's
+    orphans are identifiable; the
     layout is range-clustered on (partition column, cluster column) so
     each file covers a CONTIGUOUS partition-value slice — tight footer
     min/max = sharp manifest pruning (the r6 partitioned-layout law:
@@ -179,13 +183,82 @@ def _write_commit_files(
     partition coalescing — needed when the table is small relative to
     the advisory size but pruning granularity still matters); None
     lets AQE size the files, the right default for merge slices."""
-    commit_dir = os.path.join(loc, "data", f"c{version:08d}_{os.getpid()}")
+    tag = f"c{version:08d}_{os.getpid()}" + (f"_{subdir}" if subdir else "")
+    commit_dir = os.path.join(loc, "data", tag)
     cols = [F.col(part_col)] + ([F.col(cluster_col)] if cluster_col else [])
     head = [files] if files is not None else []
     df.repartitionByRange(*head, *cols).write.mode("overwrite").parquet(
         commit_dir
     )
     return _file_entries(commit_dir, loc, part_col)
+
+
+def _stamp_seq(entries: list[dict], version: int) -> list[dict]:
+    """Stamp the commit SEQUENCE onto new file entries. Sequence
+    numbers order data files against equality-delete files (the
+    Iceberg rule): a delete with seq D applies to a data file with
+    seq F iff D >= F — so a merge that re-inserts a previously
+    deleted key writes files with a HIGHER seq than the delete and
+    the key survives the read-side anti-join. Entries from manifests
+    that predate this field default to seq 0 (oldest)."""
+    for e in entries:
+        e["seq"] = version
+    return entries
+
+
+def _delete_entries(m: dict) -> list[dict]:
+    return m.get("deletes", [])
+
+
+def _read_with_deletes(
+    spark: SparkSession,
+    loc: str,
+    schema: T.StructType,
+    entries: list[dict],
+    deletes: list[dict],
+) -> DataFrame:
+    """Plan a read of ``entries`` with equality-delete files applied.
+
+    Files are grouped into classes by the SUBSET of delete files that
+    applies to them (delete.seq >= file.seq); each class scans once
+    and anti-joins the broadcast union of its applicable delete keys.
+    With no deletes this is byte-for-byte the plain pruned scan (the
+    pre-delete keys' pinned plans are unchanged). Delete files are
+    small by contract — a scattered-key DELETE writes kilobytes of
+    keys instead of rewriting every touched data file, and the read
+    pays one broadcast anti-join (map-side, no shuffle of the data)."""
+    if not entries:
+        return spark.createDataFrame([], schema)
+    if not deletes:
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(loc, e["path"]) for e in entries]
+        )
+    key = deletes[0]["key"]
+    if any(d["key"] != key for d in deletes):
+        raise ValueError(
+            f"snapshot table {loc}: delete files disagree on key columns"
+        )
+    del_schema = T.StructType([schema[c] for c in key])
+    classes: dict[tuple, list[str]] = {}
+    for e in entries:
+        appl = tuple(
+            sorted(
+                d["path"] for d in deletes if d["seq"] >= e.get("seq", 0)
+            )
+        )
+        classes.setdefault(appl, []).append(os.path.join(loc, e["path"]))
+    parts = []
+    for appl, paths in sorted(classes.items()):
+        df = spark.read.schema(schema).parquet(*paths)
+        if appl:
+            ddf = (
+                spark.read.schema(del_schema)
+                .parquet(*[os.path.join(loc, p) for p in appl])
+                .distinct()
+            )
+            df = df.join(F.broadcast(ddf), on=key, how="left_anti")
+        parts.append(df)
+    return functools.reduce(DataFrame.unionAll, parts)
 
 
 def create_snapshot_table(
@@ -209,8 +282,9 @@ def create_snapshot_table(
         if v is not None:
             return v
         df = df_factory()
-        entries = _write_commit_files(
-            df, loc, 0, part_col, cluster_col, files=files
+        entries = _stamp_seq(
+            _write_commit_files(df, loc, 0, part_col, cluster_col, files=files),
+            0,
         )
         manifest = {
             "format": _FORMAT,
@@ -262,6 +336,11 @@ def read_snapshot(
     schema = T.StructType.fromJson(m["schema"])
     if not paths:
         return spark.createDataFrame([], schema)
+    deletes = _delete_entries(m)
+    if deletes:
+        rel = {os.path.relpath(p, loc) for p in paths}
+        entries = [e for e in m["files"] if e["path"] in rel]
+        return _read_with_deletes(spark, loc, schema, entries, deletes)
     return spark.read.schema(schema).parquet(*paths)
 
 
@@ -291,11 +370,7 @@ def merge_snapshot_prewrite(
         for e in m["files"]
         if e["min"] is None or any(e["min"] <= v <= e["max"] for v in vals)
     ]
-    cand_paths = [os.path.join(loc, e["path"]) for e in candidates]
-    if cand_paths:
-        base = spark.read.schema(schema).parquet(*cand_paths)
-    else:
-        base = spark.createDataFrame([], schema)
+    base = _read_with_deletes(spark, loc, schema, candidates, _delete_entries(m))
     merged = Merger(base.drop(part_col), batch, join_on=join_on).merged(
         update=True, insert=True
     )
@@ -329,7 +404,9 @@ def merge_snapshot_commit(
         part_col = m["part_col"]
         base_v = m["version"]
         version = base_v + 1
-        new_files = _write_commit_files(out, loc, version, part_col)
+        new_files = _stamp_seq(
+            _write_commit_files(out, loc, version, part_col), version
+        )
         keep = {e["path"] for e in candidates}
         manifest = {
             "format": _FORMAT,
@@ -339,6 +416,10 @@ def merge_snapshot_commit(
             "schema": m["schema"],
             "files": [e for e in m["files"] if e["path"] not in keep]
             + new_files,
+            # carried deletes still apply to carried files only: the
+            # rewritten candidates were read WITH deletes applied and
+            # their replacements carry seq=version > every delete seq.
+            "deletes": _delete_entries(m),
         }
         try:
             _publish_manifest(loc, manifest)
@@ -404,6 +485,7 @@ def evolve_snapshot_schema(
             "part_col": m["part_col"],
             "schema": schema.jsonValue(),
             "files": m["files"],
+            "deletes": _delete_entries(m),
         }
         try:
             _publish_manifest(loc, manifest)
@@ -412,6 +494,229 @@ def evolve_snapshot_schema(
             continue  # pure metadata: nothing to clean, just recompute
     raise RuntimeError(
         f"snapshot schema evolution on {loc}: lost the optimistic-commit "
+        f"race {max_attempts} times"
+    )
+
+
+def delete_where_commit(
+    spark: SparkSession,
+    loc: str,
+    part_lo,
+    part_hi,
+    row_pred=None,
+    max_attempts: int = 5,
+) -> int:
+    """Row-level DELETE as a copy-on-write commit, with Iceberg's
+    planning-time METADATA DELETE: the predicate is
+    ``part_col BETWEEN part_lo AND part_hi`` (AND ``row_pred`` if
+    given), and every live file is classified DRIVER-SIDE against its
+    manifest min/max stats —
+
+    * stats range disjoint from [lo, hi] → CARRIED by identity (never
+      listed, read, or rewritten);
+    * stats range fully inside [lo, hi] and no residual ``row_pred``
+      → DROPPED metadata-only: every row provably matches, so the
+      file leaves the manifest WITHOUT EVER BEING READ (zero IO, any
+      file size);
+    * straddling (or residual predicate, or absent stats) → REWRITTEN
+      keeping the surviving rows.
+
+    On the range-clustered layout this table writes, a partition-range
+    DELETE rewrites at most the two straddling edge files regardless
+    of how many files the range covers — at 100 TB, dropping a year
+    from an 80-month table is metadata for the interior months plus
+    two bounded edge rewrites. SQL DELETE semantics: rows where the
+    predicate is NULL are KEPT (delete-where-TRUE, not
+    delete-where-not-FALSE). Re-applying the same DELETE converges:
+    interior files are already gone and the rewritten edges no longer
+    intersect [lo, hi], so the second commit is pure metadata.
+    Existing equality deletes are honored: rewrite candidates are
+    read with their applicable delete files applied, and carried
+    deletes keep applying to carried files only (new files outrank
+    them by seq)."""
+    for _ in range(max_attempts):
+        base_v = latest_version(loc)
+        if base_v is None:
+            raise FileNotFoundError(f"no snapshot table at {loc}")
+        m = load_manifest(loc, base_v)
+        part_col = m["part_col"]
+        schema = T.StructType.fromJson(m["schema"])
+        carried, dropped, rewrite = [], [], []
+        for e in m["files"]:
+            if e["min"] is not None and (
+                e["max"] < part_lo or e["min"] > part_hi
+            ):
+                carried.append(e)
+            elif (
+                e["min"] is not None
+                and part_lo <= e["min"]
+                and e["max"] <= part_hi
+                and row_pred is None
+            ):
+                dropped.append(e)
+            else:
+                rewrite.append(e)
+        version = base_v + 1
+        new_files: list[dict] = []
+        written_dirs: list[str] = []
+        if rewrite:
+            df = _read_with_deletes(
+                spark, loc, schema, rewrite, _delete_entries(m)
+            )
+            pred = (F.col(part_col) >= F.lit(part_lo)) & (
+                F.col(part_col) <= F.lit(part_hi)
+            )
+            if row_pred is not None:
+                pred = pred & row_pred(df)
+            kept = df.filter(~F.coalesce(pred, F.lit(False)))
+            # one slice per SIDE of the deleted range so no rewritten
+            # file ever spans the hole — otherwise its min/max would
+            # re-classify it as straddling on every later invocation
+            # and the DELETE would never converge to pure metadata.
+            # NULL partition values (kept by SQL semantics when the
+            # predicate is NULL) ride the low slice. The in-range
+            # slice exists only under a residual predicate — without
+            # one it is provably empty, so no job runs for it.
+            slices = [
+                (
+                    "lo",
+                    F.col(part_col).isNull()
+                    | (F.col(part_col) < F.lit(part_lo)),
+                ),
+                ("hi", F.col(part_col) > F.lit(part_hi)),
+            ]
+            if row_pred is not None:
+                slices.append(
+                    (
+                        "mid",
+                        (F.col(part_col) >= F.lit(part_lo))
+                        & (F.col(part_col) <= F.lit(part_hi)),
+                    )
+                )
+            for tag, cond in slices:
+                written_dirs.append(
+                    os.path.join(
+                        loc, "data", f"c{version:08d}_{os.getpid()}_{tag}"
+                    )
+                )
+                new_files += _stamp_seq(
+                    _write_commit_files(
+                        kept.filter(cond), loc, version, part_col, subdir=tag
+                    ),
+                    version,
+                )
+        manifest = {
+            "format": _FORMAT,
+            "version": version,
+            "parent": base_v,
+            "part_col": part_col,
+            "schema": m["schema"],
+            "files": carried + new_files,
+            "deletes": _delete_entries(m),
+            "commit": {
+                "op": "delete_where",
+                "lo": part_lo,
+                "hi": part_hi,
+                "dropped_metadata_only": len(dropped),
+                "rewritten": len(rewrite),
+                "carried": len(carried),
+            },
+        }
+        try:
+            _publish_manifest(loc, manifest)
+            return version
+        except FileExistsError:
+            for d in written_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+    raise RuntimeError(
+        f"snapshot delete on {loc}: lost the optimistic-commit race "
+        f"{max_attempts} times"
+    )
+
+
+def delete_keys_commit(
+    spark: SparkSession,
+    loc: str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+    max_attempts: int = 5,
+) -> int:
+    """Row-level DELETE as a MERGE-ON-READ commit: equality-delete
+    files (the Iceberg v2 / Delta deletion-vector model). The commit
+    writes ONLY the distinct delete keys as a small parquet file and
+    republishes the parent's data files by identity — write cost is
+    |keys|, independent of how many data files contain them. This is
+    the right half of the DELETE design space that copy-on-write
+    can't serve: keys SCATTERED across the table (GDPR erasure, bad
+    upstream record recall), where CoW would rewrite essentially
+    every file. Readers apply the deletes as one broadcast anti-join
+    (map-side, data never shuffles); a later MERGE that re-inserts a
+    deleted key wins by sequence number (its files outrank the
+    delete); ``compact_snapshot_commit`` materializes and clears the
+    accumulated delete debt. Deleting zero keys returns the current
+    version without a commit."""
+    for _ in range(max_attempts):
+        base_v = latest_version(loc)
+        if base_v is None:
+            raise FileNotFoundError(f"no snapshot table at {loc}")
+        m = load_manifest(loc, base_v)
+        schema = T.StructType.fromJson(m["schema"])
+        missing = [c for c in key_cols if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"delete key columns {missing} not in table schema at {loc}"
+            )
+        existing = _delete_entries(m)
+        if existing and existing[0]["key"] != list(key_cols):
+            raise ValueError(
+                f"snapshot table {loc}: existing delete files use key "
+                f"{existing[0]['key']}, refusing mixed-key deletes"
+            )
+        version = base_v + 1
+        del_dir = os.path.join(loc, "data", f"d{version:08d}_{os.getpid()}")
+        keys_df.select(*key_cols).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(del_dir)
+        import pyarrow.parquet as pq
+
+        entries = []
+        for name in sorted(os.listdir(del_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(del_dir, name)
+            n = pq.ParquetFile(path).metadata.num_rows
+            if n:
+                entries.append(
+                    {
+                        "path": os.path.relpath(path, loc),
+                        "rows": n,
+                        "seq": version,
+                        "key": list(key_cols),
+                    }
+                )
+        if not entries:
+            shutil.rmtree(del_dir, ignore_errors=True)
+            return base_v
+        manifest = {
+            "format": _FORMAT,
+            "version": version,
+            "parent": base_v,
+            "part_col": m["part_col"],
+            "schema": m["schema"],
+            "files": m["files"],
+            "deletes": existing + entries,
+            "commit": {
+                "op": "delete_keys",
+                "keys": sum(e["rows"] for e in entries),
+            },
+        }
+        try:
+            _publish_manifest(loc, manifest)
+            return version
+        except FileExistsError:
+            shutil.rmtree(del_dir, ignore_errors=True)
+    raise RuntimeError(
+        f"snapshot equality delete on {loc}: lost the optimistic-commit "
         f"race {max_attempts} times"
     )
 
@@ -441,8 +746,9 @@ def compact_snapshot_commit(
         part_col = m["part_col"]
         df = read_snapshot(spark, loc, version=base_v)
         version = base_v + 1
-        new_files = _write_commit_files(
-            df, loc, version, part_col, files=files
+        new_files = _stamp_seq(
+            _write_commit_files(df, loc, version, part_col, files=files),
+            version,
         )
         manifest = {
             "format": _FORMAT,
@@ -451,6 +757,11 @@ def compact_snapshot_commit(
             "part_col": part_col,
             "schema": m["schema"],
             "files": new_files,
+            # compaction reads THROUGH the deletes (read_snapshot
+            # applies them), so the rewritten content has them
+            # materialized — the child clears the delete list: this is
+            # how merge-on-read debt is retired.
+            "deletes": [],
         }
         try:
             _publish_manifest(loc, manifest)
@@ -484,7 +795,9 @@ def vacuum_snapshot(loc: str, keep_latest: int = 1) -> tuple[int, int]:
     ]
     live: set[str] = set()
     for v in keep_versions:
-        live |= {e["path"] for e in load_manifest(loc, v)["files"]}
+        m = load_manifest(loc, v)
+        live |= {e["path"] for e in m["files"]}
+        live |= {e["path"] for e in _delete_entries(m)}
     dropped_m = 0
     for v in range(0, keep_versions[0]):
         p = _manifest_path(loc, v)

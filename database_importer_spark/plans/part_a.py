@@ -653,7 +653,7 @@ def upsert_merge_partitioned(spark, sf_dir):
 # comparable in BASELINE.md.
 
 
-def _snap_loc(spark, sf_dir):
+def _snap_loc(spark, sf_dir, name="upsert"):
     """Table root: warehouse + corpus fingerprint. SHARED across
     processes — snapshot isolation plus optimistic commits make a
     shared mutable table safe (the dynamic-overwrite live table had to
@@ -670,7 +670,7 @@ def _snap_loc(spark, sf_dir):
         c if c.isalnum() else "_" for c in os.path.abspath(sf_dir)
     ).lower()
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    return os.path.join(wh, f"dbis_snap_upsert_{dir_tag}_{fp}")
+    return os.path.join(wh, f"dbis_snap_{name}_{dir_tag}_{fp}")
 
 
 def _snap_batch_touched(spark, sf_dir, loc):
@@ -879,6 +879,106 @@ def table_schema_evolution(spark, sf_dir):
         spark, loc, [("o_note", "string")], exist_ok=True
     )
     return read_snapshot(spark, loc).select(*_SNAP_OUT_COLS, "o_note")
+
+
+def _snap_create_named(spark, sf_dir, name):
+    """Create-once v0 = orders + o_month on a per-key snapshot table
+    (the DELETE keys mutate destructively, so they each own a table
+    instead of sharing the merge family's). Same fan-out contract as
+    _snap_create: files=16 range-clustered on (month, orderkey) —
+    every file covers a contiguous ~5-month slice, which is what
+    makes the delete classification sharp."""
+    from database_importer_spark.operators.snapshot_table import (
+        create_snapshot_table,
+    )
+
+    loc = _snap_loc(spark, sf_dir, name)
+
+    def src():
+        o = t(spark, sf_dir, "orders")
+        return o.withColumn(_PM_PART_COL, _pm_month_of(o))
+
+    create_snapshot_table(spark, loc, src, _PM_PART_COL, "o_orderkey", files=16)
+    return loc
+
+
+_DELW_LO, _DELW_HI = 199701, 199712
+
+
+@declare(
+    "table_delete_where",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE year(o_orderdate) * 100 + month(o_orderdate)
+          NOT BETWEEN {_DELW_LO} AND {_DELW_HI}
+    """,
+)
+def table_delete_where(spark, sf_dir):
+    """Partition-range DELETE as a copy-on-write snapshot commit with
+    Iceberg's planning-time METADATA DELETE
+    (operators/snapshot_table.delete_where_commit): dropping calendar
+    year 1997 (12 of ~80 months) classifies every file against its
+    manifest min/max — interior files leave the manifest WITHOUT BEING
+    READ (zero IO whatever their size), untouched files are carried by
+    identity, and only the ≤2 straddling edge files are rewritten. At
+    100 TB this is how retention enforcement must work: deleting a
+    year is metadata plus two bounded edge rewrites, never a table
+    scan. Re-invocation converges to a pure-metadata commit (interior
+    gone, rewritten edges no longer intersect the range). The
+    returned frame is the full post-delete state read from the
+    committed manifest, hash-matched against the NOT-BETWEEN oracle —
+    which is what proves both halves: every 1997 row gone, every
+    non-1997 row byte-intact."""
+    from database_importer_spark.operators.snapshot_table import (
+        delete_where_commit,
+        read_snapshot,
+    )
+
+    loc = _snap_create_named(spark, sf_dir, "delw")
+    v = delete_where_commit(spark, loc, _DELW_LO, _DELW_HI)
+    return read_snapshot(spark, loc, version=v).select(*_SNAP_OUT_COLS)
+
+
+@declare(
+    "table_delete_mor",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_custkey % 500 <> 3
+    """,
+)
+def table_delete_mor(spark, sf_dir):
+    """Scattered-key DELETE as a MERGE-ON-READ snapshot commit
+    (operators/snapshot_table.delete_keys_commit) — the equality-
+    delete / deletion-vector half of the DELETE design space. The
+    doomed keys (orders of every 500th customer — present in
+    essentially every month partition, the GDPR-erasure shape where
+    copy-on-write would rewrite the whole table) are committed as ONE
+    small parquet delete file; the parent's data files republish by
+    identity, so write cost is |keys| regardless of table size. The
+    read resolves the manifest and applies the delete as a broadcast
+    anti-join on o_orderkey (map-side — the 15M-row data never
+    shuffles); sequence numbers make a later merge's re-inserted keys
+    outrank the delete (pinned in tests), and OPTIMIZE
+    (compact_snapshot_commit) retires the delete debt. Hash-matched
+    against the plain filtered oracle: deleted keys gone, everything
+    else byte-intact."""
+    from database_importer_spark.operators.snapshot_table import (
+        delete_keys_commit,
+        read_snapshot,
+    )
+
+    loc = _snap_create_named(spark, sf_dir, "dv")
+    doomed = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 500 == 3)
+        .select("o_orderkey")
+    )
+    delete_keys_commit(spark, loc, doomed, ["o_orderkey"])
+    return read_snapshot(spark, loc).select(*_SNAP_OUT_COLS)
 
 
 @declare("sink_jdbc_live_merge", oracle=_UPSERT_ORACLE)

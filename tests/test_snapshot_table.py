@@ -255,6 +255,142 @@ def test_streaming_ingest_commits_per_micro_batch(spark, tmp_path):
     assert _state(spark, loc) == got
 
 
+def _data_files_on_disk(loc):
+    return sorted(
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(os.path.join(loc, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def test_delete_where_full_range_is_pure_metadata(spark, tmp_path):
+    """DELETE of the whole partition range: every file's stats prove
+    every row matches, so the commit drops ALL files metadata-only —
+    zero files read, zero files written, any table size."""
+    loc = _mk_table(spark, tmp_path, n=400)
+    pre = _data_files_on_disk(loc)
+    v = st.delete_where_commit(spark, loc, 0, 39)
+    assert v == 1
+    m = st.load_manifest(loc, 1)
+    assert m["commit"]["dropped_metadata_only"] == 4
+    assert m["commit"]["rewritten"] == 0 and m["files"] == []
+    assert _data_files_on_disk(loc) == pre  # nothing written OR deleted
+    assert st.read_snapshot(spark, loc).count() == 0
+    assert len(_state(spark, loc, 0)) == 400  # time travel intact
+
+
+def test_delete_where_edges_rewrite_then_converge(spark, tmp_path):
+    """Mid-range DELETE: interior files drop metadata-only, only the
+    straddling edge files rewrite, untouched files carry by identity —
+    and because rewritten slices never span the hole, re-applying the
+    same DELETE is a pure-metadata no-op commit."""
+    loc = _mk_table(spark, tmp_path, n=400)
+    m0 = st.load_manifest(loc, 0)
+    v = st.delete_where_commit(spark, loc, 12, 27)
+    m1 = st.load_manifest(loc, v)
+    c = m1["commit"]
+    assert c["dropped_metadata_only"] + c["rewritten"] >= 1
+    assert c["carried"] >= 1
+    # carried files are the SAME manifest entries (identity, not rewrite)
+    f0 = {e["path"]: e for e in m0["files"]}
+    carried = [e for e in m1["files"] if e["path"] in f0]
+    assert len(carried) == c["carried"]
+    got = _state(spark, loc)
+    assert set(got) == {k for k in range(400) if not (12 <= k // 10 <= 27)}
+    # convergence: the second identical DELETE does no data work
+    v2 = st.delete_where_commit(spark, loc, 12, 27)
+    c2 = st.load_manifest(loc, v2)["commit"]
+    assert c2["dropped_metadata_only"] == 0 and c2["rewritten"] == 0
+    assert _state(spark, loc) == got
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE semantics: a row whose predicate evaluates NULL is
+    KEPT (delete-where-TRUE). A residual predicate also forces the
+    in-range files through the rewrite path (no metadata drops)."""
+    loc = _mk_table(spark, tmp_path, n=40)
+    # TRUE for even k, NULL for odd k — odd rows must survive
+    v = st.delete_where_commit(
+        spark,
+        loc,
+        0,
+        3,
+        row_pred=lambda df: F.when(F.col("k") % 2 == 0, F.lit(True)),
+    )
+    m = st.load_manifest(loc, v)
+    assert m["commit"]["dropped_metadata_only"] == 0  # residual pred
+    got = _state(spark, loc)
+    assert set(got) == {k for k in range(40) if k >= 40 or k % 2 == 1 or k // 10 > 3}
+    assert 1 in got and 39 in got and 0 not in got and 30 not in got
+
+
+def test_delete_mor_writes_keys_not_data(spark, tmp_path):
+    """Equality-delete commit: parent data files republish by
+    IDENTITY (zero data rewritten), the only new artifact is one
+    small delete file; the read applies it as an anti-join."""
+    loc = _mk_table(spark, tmp_path, n=400)
+    m0 = st.load_manifest(loc, 0)
+    doomed = spark.createDataFrame([(k,) for k in range(7, 400, 20)], "k int")
+    v = st.delete_keys_commit(spark, loc, doomed, ["k"])
+    assert v == 1
+    m1 = st.load_manifest(loc, 1)
+    assert m1["files"] == m0["files"]  # data files untouched, by identity
+    assert len(m1["deletes"]) == 1 and m1["deletes"][0]["rows"] == 20
+    got = _state(spark, loc)
+    assert set(got) == set(range(400)) - set(range(7, 400, 20))
+    assert len(_state(spark, loc, 0)) == 400  # time travel intact
+    # zero keys: no commit at all
+    empty = spark.createDataFrame([], "k int")
+    assert st.delete_keys_commit(spark, loc, empty, ["k"]) == 1
+    # mixed delete keys are refused
+    with pytest.raises(ValueError):
+        st.delete_keys_commit(
+            spark, loc, spark.createDataFrame([("v1",)], "val string"), ["val"]
+        )
+
+
+def test_delete_mor_reinserted_key_outranks_delete(spark, tmp_path):
+    """Sequence numbers: a merge AFTER an equality delete writes files
+    with a higher seq than the delete, so a re-inserted key survives
+    the read while the delete keeps applying to the older files."""
+    loc = _mk_table(spark, tmp_path)
+    st.delete_keys_commit(
+        spark, loc, spark.createDataFrame([(15,), (25,)], "k int"), ["k"]
+    )
+    assert set(_state(spark, loc)) == set(range(40)) - {15, 25}
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(15, "BACK")]), ["k"], _part_of, touched=[1]
+    )
+    got = _state(spark, loc)
+    assert got[15] == ("BACK", 1)  # re-insert wins by seq
+    assert 25 not in got  # delete still applies to carried files
+    assert 16 in got
+
+
+def test_delete_mor_compact_clears_debt_and_vacuum_keeps_delete_files(
+    spark, tmp_path
+):
+    loc = _mk_table(spark, tmp_path)
+    st.delete_keys_commit(
+        spark, loc, spark.createDataFrame([(5,), (35,)], "k int"), ["k"]
+    )
+    # vacuum to latest-only must NOT reap the delete file the latest
+    # manifest still references
+    st.vacuum_snapshot(loc, keep_latest=1)
+    got = _state(spark, loc)
+    assert set(got) == set(range(40)) - {5, 35}
+    # OPTIMIZE materializes the deletes and clears the debt
+    v = st.compact_snapshot_commit(spark, loc, files=2)
+    m = st.load_manifest(loc, v)
+    assert m["deletes"] == []
+    assert _state(spark, loc) == got
+    # post-compaction read is a plain scan: only data files as inputs
+    df = st.read_snapshot(spark, loc)
+    data_paths = {os.path.join(loc, e["path"]) for e in m["files"]}
+    assert set(df.inputFiles()) <= {f"file://{p}" for p in data_paths} | data_paths
+
+
 def test_schema_evolution_is_metadata_only(spark, tmp_path):
     """ADD COLUMN: child manifest carries the widened schema over the
     PARENT'S file list by identity — zero data files written; old
