@@ -60,6 +60,7 @@ HEADLINE = [
     "table_snapshot_prune_read",
     "table_delete_where",
     "table_delete_mor",
+    "table_incremental_read",
     "fn_math_core",
     "llm_dedup_exact",
     "llm_similarity_topk",

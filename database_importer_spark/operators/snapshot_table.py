@@ -498,6 +498,124 @@ def evolve_snapshot_schema(
     )
 
 
+def append_snapshot_commit(
+    spark: SparkSession,
+    loc: str,
+    df: DataFrame,
+    files: int | None = None,
+    expected_parent: int | None = None,
+    max_attempts: int = 5,
+) -> int | None:
+    """INSERT-only fast path: write the new rows as new files and
+    republish the parent's file list + the additions — no read of
+    existing data, no merge join, the minimal commit (ingest lands at
+    |batch| cost whatever the table size). ``expected_parent`` makes
+    the append CONDITIONAL (compare-and-swap on the table version):
+    if the table has moved past that version the append returns None
+    without committing — the idempotence guard for ensure-style
+    callers racing across processes (exactly one of N racers lands
+    the load, the rest observe it already done)."""
+    for _ in range(max_attempts):
+        base_v = latest_version(loc)
+        if base_v is None:
+            raise FileNotFoundError(f"no snapshot table at {loc}")
+        if expected_parent is not None and base_v != expected_parent:
+            return None
+        m = load_manifest(loc, base_v)
+        version = base_v + 1
+        new_files = _stamp_seq(
+            _write_commit_files(
+                df, loc, version, m["part_col"], files=files
+            ),
+            version,
+        )
+        manifest = {
+            "format": _FORMAT,
+            "version": version,
+            "parent": base_v,
+            "part_col": m["part_col"],
+            "schema": m["schema"],
+            "files": m["files"] + new_files,
+            "deletes": _delete_entries(m),
+            "commit": {
+                "op": "append",
+                "rows": sum(e["rows"] for e in new_files),
+            },
+        }
+        try:
+            _publish_manifest(loc, manifest)
+            return version
+        except FileExistsError:
+            shutil.rmtree(
+                os.path.join(loc, "data", f"c{version:08d}_{os.getpid()}"),
+                ignore_errors=True,
+            )
+    raise RuntimeError(
+        f"snapshot append on {loc}: lost the optimistic-commit race "
+        f"{max_attempts} times"
+    )
+
+
+def incremental_entries(
+    loc: str, from_version: int, to_version: int
+) -> list[dict]:
+    """File entries ADDED between two versions of an APPEND-ONLY
+    range — the metadata half of the incremental scan. Each step
+    from→to is validated from the manifests themselves (no trust in
+    op tags): the parent's files must all survive by identity and the
+    delete list must be unchanged, otherwise rows were rewritten or
+    removed and a file-level diff would misread history — that case
+    raises, exactly as Iceberg's incremental append scan refuses
+    overwrite snapshots. Metadata-only commits (schema evolution)
+    contribute nothing and pass through."""
+    if not 0 <= from_version <= to_version:
+        raise ValueError(f"bad incremental range v{from_version}..v{to_version}")
+    chain = []
+    v = to_version
+    while v > from_version:
+        m = load_manifest(loc, v)
+        if m["parent"] != v - 1:
+            raise ValueError(f"broken version chain at v{v} in {loc}")
+        chain.append(m)
+        v -= 1
+    base = load_manifest(loc, from_version)
+    prev = base
+    added: list[dict] = []
+    for m in reversed(chain):
+        prev_paths = {e["path"] for e in prev["files"]}
+        cur_paths = {e["path"] for e in m["files"]}
+        if not prev_paths <= cur_paths or _delete_entries(m) != _delete_entries(
+            prev
+        ):
+            raise ValueError(
+                f"v{m['version']} of {loc} is not an append commit — "
+                "incremental file diff would misread rewritten history"
+            )
+        added += [e for e in m["files"] if e["path"] not in prev_paths]
+        prev = m
+    return added
+
+
+def read_incremental(
+    spark: SparkSession, loc: str, from_version: int, to_version: int
+) -> DataFrame:
+    """The rows appended between two versions, read from ONLY the
+    files those commits added (manifest diff — untouched history is
+    never listed or scanned). This is the consumer side of an
+    append-only feed: a pipeline that processed the table at version
+    A catches up to version B at |delta| cost, not |table| — the
+    'what landed since my last run' primitive every incremental
+    training-data job needs."""
+    m = load_manifest(loc, to_version)
+    schema = T.StructType.fromJson(m["schema"])
+    entries = incremental_entries(loc, from_version, to_version)
+    if not entries:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(loc, e["path"]) for e in entries]
+    )
+
+
 def delete_where_commit(
     spark: SparkSession,
     loc: str,

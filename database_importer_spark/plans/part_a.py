@@ -981,6 +981,63 @@ def table_delete_mor(spark, sf_dir):
     return read_snapshot(spark, loc).select(*_SNAP_OUT_COLS)
 
 
+_INC_CUTOFF = "1998-01-01"
+
+
+@declare(
+    "table_incremental_read",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_INC_CUTOFF}'
+    """,
+)
+def table_incremental_read(spark, sf_dir):
+    """Incremental append scan — the consumer side of an append-only
+    snapshot feed (operators/snapshot_table.read_incremental). v0 of
+    the table holds history (orders before 1998); the 1998 slice
+    lands once as an INSERT-only append commit
+    (append_snapshot_commit: new files + manifest union, existing
+    data never read, CAS-guarded on the parent version so exactly one
+    of N racing processes performs the load). The incremental read
+    diffs the two manifests and scans ONLY the files the append
+    added — untouched history is never listed (inputFiles-pinned in
+    tests), and the append-only property of the version range is
+    validated from the manifests themselves, not trusted from tags.
+    At 100 TB this is the standing primitive for every downstream
+    job: catch up from version A to B at |delta| cost, not |table|.
+    Hash-matched against the appended slice of the source."""
+    from database_importer_spark.operators.snapshot_table import (
+        append_snapshot_commit,
+        create_snapshot_table,
+        latest_version,
+        read_incremental,
+    )
+
+    loc = _snap_loc(spark, sf_dir, "inc")
+    cutoff = F.lit(_INC_CUTOFF).cast("timestamp")
+
+    def src():
+        o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+        return o.withColumn(_PM_PART_COL, _pm_month_of(o))
+
+    create_snapshot_table(spark, loc, src, _PM_PART_COL, "o_orderkey", files=16)
+    if latest_version(loc) == 0:
+        delta = t(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") >= cutoff
+        )
+        append_snapshot_commit(
+            spark,
+            loc,
+            delta.withColumn(_PM_PART_COL, _pm_month_of(delta)),
+            expected_parent=0,
+        )
+    return read_incremental(spark, loc, 0, latest_version(loc)).select(
+        *_SNAP_OUT_COLS
+    )
+
+
 @declare("sink_jdbc_live_merge", oracle=_UPSERT_ORACLE)
 def sink_jdbc_live_merge(spark, sf_dir):
     """The LIVE JDBC data plane (reference importer.py:253-309),

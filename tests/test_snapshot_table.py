@@ -391,6 +391,60 @@ def test_delete_mor_compact_clears_debt_and_vacuum_keeps_delete_files(
     assert set(df.inputFiles()) <= {f"file://{p}" for p in data_paths} | data_paths
 
 
+def test_append_and_incremental_read(spark, tmp_path):
+    """Append fast path: parent files republish by identity, the only
+    new artifacts are the appended files. Incremental read scans ONLY
+    the files added in the version range, refuses non-append history,
+    and the CAS guard makes exactly one racing append land."""
+    loc = _mk_table(spark, tmp_path)  # keys 0..39, v0
+    m0 = st.load_manifest(loc, 0)
+
+    def mk_rows(lo, n):
+        df = spark.range(lo, lo + n).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("a"), F.col("id")).alias("val"),
+        )
+        return df.withColumn("m", F.floor(F.col("k") / 10).cast("int"))
+
+    v1 = st.append_snapshot_commit(spark, loc, mk_rows(100, 10))
+    v2 = st.append_snapshot_commit(spark, loc, mk_rows(200, 5))
+    assert (v1, v2) == (1, 2)
+    m2 = st.load_manifest(loc, 2)
+    assert {e["path"] for e in m0["files"]} <= {e["path"] for e in m2["files"]}
+    assert m2["commit"] == {"op": "append", "rows": 5}
+    # full-range delta = both appends; later range = second only
+    d02 = st.read_incremental(spark, loc, 0, 2)
+    assert {r["k"] for r in d02.collect()} == set(range(100, 110)) | set(
+        range(200, 205)
+    )
+    d12 = st.read_incremental(spark, loc, 1, 2)
+    assert {r["k"] for r in d12.collect()} == set(range(200, 205))
+    # only the delta files are handed to the engine
+    added = {
+        os.path.join(loc, e["path"])
+        for e in st.incremental_entries(loc, 1, 2)
+    }
+    assert {f.removeprefix("file://") for f in d12.inputFiles()} == added
+    # empty range
+    assert st.read_incremental(spark, loc, 2, 2).count() == 0
+    # CAS append: table moved past the expected parent -> no commit
+    assert (
+        st.append_snapshot_commit(
+            spark, loc, mk_rows(300, 1), expected_parent=0
+        )
+        is None
+    )
+    assert st.latest_version(loc) == 2
+    # a rewriting commit poisons the range for file-diff incrementals
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(15, "MUT")]), ["k"], _part_of, touched=[1]
+    )
+    with pytest.raises(ValueError):
+        st.incremental_entries(loc, 0, 3)
+    # ...but a range that stops before the rewrite still reads
+    assert st.read_incremental(spark, loc, 0, 2).count() == 15
+
+
 def test_schema_evolution_is_metadata_only(spark, tmp_path):
     """ADD COLUMN: child manifest carries the widened schema over the
     PARENT'S file list by identity — zero data files written; old
