@@ -61,6 +61,7 @@ HEADLINE = [
     "table_delete_where",
     "table_delete_mor",
     "table_incremental_read",
+    "table_changes_merge",
     "fn_math_core",
     "llm_dedup_exact",
     "llm_similarity_topk",

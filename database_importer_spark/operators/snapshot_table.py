@@ -616,6 +616,109 @@ def read_incremental(
     )
 
 
+def read_changes(
+    spark: SparkSession,
+    loc: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two versions — the
+    consumer primitive for MERGE-maintained tables, where the
+    append-only incremental scan is structurally refused. Each step's
+    manifests are diffed into REMOVED and ADDED file entries (a
+    copy-on-write commit replaces the touched files only, so both
+    sets — and therefore the whole computation — are bounded by the
+    commit's touched slice, not the table). The row delta is the
+    multiset difference in both directions (EXCEPT ALL — rows
+    rewritten byte-identically, i.e. carried neighbors inside a
+    touched file, cancel out and are never emitted), classified by
+    the table key:
+
+    * key only in the new side  → ``insert``
+    * key on both sides         → ``update_preimage`` / ``update_postimage``
+    * key only in the old side  → ``delete``
+
+    plus ``_commit_version``. Equality-delete commits change rows
+    without touching files, so a step whose delete list changes is
+    refused (emitting those as CDC would require locating the doomed
+    keys' rows — a table scan this primitive promises not to do;
+    compact the debt first). Pure-metadata steps contribute nothing.
+    Old-side reads honor the deletes that applied to the removed
+    files, so a row already invisible at ``from_version`` never
+    reports as deleted twice."""
+    if not 0 <= from_version <= to_version:
+        raise ValueError(f"bad changes range v{from_version}..v{to_version}")
+    m_to = load_manifest(loc, to_version)
+    schema = T.StructType.fromJson(m_to["schema"])
+    out_cols = [F.col(c) for c in schema.names]
+    steps = []
+    prev = load_manifest(loc, from_version)
+    for v in range(from_version + 1, to_version + 1):
+        m = load_manifest(loc, v)
+        if m["parent"] != v - 1:
+            raise ValueError(f"broken version chain at v{v} in {loc}")
+        if _delete_entries(m) != _delete_entries(prev):
+            raise ValueError(
+                f"v{v} of {loc} changes equality-delete files — row-level "
+                "changes for those require a table scan; compact first"
+            )
+        prev_by_path = {e["path"] for e in prev["files"]}
+        cur_by_path = {e["path"] for e in m["files"]}
+        removed = [e for e in prev["files"] if e["path"] not in cur_by_path]
+        added = [e for e in m["files"] if e["path"] not in prev_by_path]
+        if removed or added:
+            steps.append((v, prev, removed, added))
+        prev = m
+
+    def step_changes(v, parent, removed, added):
+        old = _read_with_deletes(
+            spark, loc, schema, removed, _delete_entries(parent)
+        ).select(*out_cols)
+        # added files carry seq == their commit version, which
+        # outranks every delete in the (validated-unchanged) list —
+        # no delete applies to them.
+        new = _read_with_deletes(spark, loc, schema, added, []).select(
+            *out_cols
+        )
+        gone = old.exceptAll(new)
+        fresh = new.exceptAll(old)
+        upd_keys = fresh.select(*key_cols).intersect(
+            gone.select(*key_cols)
+        )
+        tag = lambda df, t: df.select(  # noqa: E731
+            F.lit(t).alias("_change_type"),
+            *out_cols,
+            F.lit(v).cast("int").alias("_commit_version"),
+        )
+        return (
+            tag(fresh.join(upd_keys, key_cols, "left_anti"), "insert")
+            .unionAll(
+                tag(
+                    fresh.join(upd_keys, key_cols, "left_semi"),
+                    "update_postimage",
+                )
+            )
+            .unionAll(
+                tag(
+                    gone.join(upd_keys, key_cols, "left_semi"),
+                    "update_preimage",
+                )
+            )
+            .unionAll(tag(gone.join(upd_keys, key_cols, "left_anti"), "delete"))
+        )
+
+    if not steps:
+        empty = T.StructType(
+            [T.StructField("_change_type", T.StringType())]
+            + list(schema.fields)
+            + [T.StructField("_commit_version", T.IntegerType())]
+        )
+        return spark.createDataFrame([], empty)
+    parts = [step_changes(*s) for s in steps]
+    return functools.reduce(DataFrame.unionAll, parts)
+
+
 def delete_where_commit(
     spark: SparkSession,
     loc: str,

@@ -981,6 +981,81 @@ def table_delete_mor(spark, sf_dir):
     return read_snapshot(spark, loc).select(*_SNAP_OUT_COLS)
 
 
+@declare(
+    "table_changes_merge",
+    oracle=f"""
+    WITH u AS (
+        SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
+               'U' AS o_orderstatus, o_orderdate
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{_PM_MONTH_LO}'
+          AND o_orderdate <  TIMESTAMP '{_PM_MONTH_HI}'
+          AND o_orderkey % 10 = 0
+    ), s AS (
+        SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders)
+                   AS o_orderkey,
+               o_totalprice + 10.0 AS o_totalprice, 'N' AS o_orderstatus,
+               TIMESTAMP '{_PM_INS_DATE}' AS o_orderdate
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{_PM_MONTH_LO}'
+          AND o_orderdate <  TIMESTAMP '{_PM_MONTH_HI}'
+          AND o_orderkey % 100 = 0
+    )
+    SELECT 'update_preimage' AS _change_type, a.o_orderkey, a.o_custkey,
+           a.o_orderstatus, a.o_totalprice, a.o_orderdate, a.o_orderpriority,
+           CAST(1 AS INTEGER) AS _commit_version
+    FROM orders a JOIN u ON a.o_orderkey = u.o_orderkey
+    UNION ALL
+    SELECT 'update_postimage', a.o_orderkey, a.o_custkey,
+           u.o_orderstatus, u.o_totalprice, u.o_orderdate, a.o_orderpriority,
+           CAST(1 AS INTEGER)
+    FROM orders a JOIN u ON a.o_orderkey = u.o_orderkey
+    UNION ALL
+    SELECT 'insert', s.o_orderkey, CAST(NULL AS BIGINT),
+           s.o_orderstatus, s.o_totalprice, s.o_orderdate,
+           CAST(NULL AS VARCHAR), CAST(1 AS INTEGER)
+    FROM s WHERE NOT EXISTS
+        (SELECT 1 FROM orders a WHERE a.o_orderkey = s.o_orderkey)
+    """,
+)
+def table_changes_merge(spark, sf_dir):
+    """Row-level CHANGE DATA FEED out of a lakehouse MERGE commit
+    (operators/snapshot_table.read_changes) — the consumer primitive
+    for merge-maintained tables, where the append-only incremental
+    scan is structurally refused. The commit's manifests are diffed
+    into removed/added files (copy-on-write bounds both to the
+    touched slice), the row delta is the two-way EXCEPT ALL (carried
+    rows rewritten byte-identically cancel out and are never
+    emitted), and the table key classifies each surviving row as
+    insert / update_preimage / update_postimage / delete. Versions
+    0→1 of this key's own table are immutable history, so the feed
+    is deterministic forever — exactly the 'replay what that commit
+    did to the corpus' read a downstream training job uses to update
+    its derived state at |commit| cost, not |table|. Hash-matched
+    against the batch's update/insert effect derived straight from
+    the source."""
+    from database_importer_spark.operators.snapshot_table import read_changes
+
+    from database_importer_spark.operators.snapshot_table import (
+        latest_version,
+        merge_snapshot_commit,
+    )
+
+    # own table: only this key commits here, so v1 is ALWAYS the batch
+    # merge (the shared merge table's v1 can be any first-comer commit,
+    # e.g. a streaming micro-batch). A racing creator that loses the
+    # version CAS re-merges the identical batch at v2+ — v0→v1 stays
+    # the canonical commit either way.
+    loc = _snap_create_named(spark, sf_dir, "cdc")
+    if latest_version(loc) == 0:
+        batch, touched = _snap_batch_touched(spark, sf_dir, loc)
+        merge_snapshot_commit(
+            spark, loc, batch, ["o_orderkey"], _pm_month_of, touched
+        )
+    ch = read_changes(spark, loc, 0, 1, ["o_orderkey"])
+    return ch.select("_change_type", *_SNAP_OUT_COLS, "_commit_version")
+
+
 _INC_CUTOFF = "1998-01-01"
 
 

@@ -445,6 +445,55 @@ def test_append_and_incremental_read(spark, tmp_path):
     assert st.read_incremental(spark, loc, 0, 2).count() == 15
 
 
+def test_read_changes_classifies_and_cancels_carried_rows(spark, tmp_path):
+    """CDC between versions: updated keys emit pre+post images,
+    inserted keys emit insert, rows rewritten byte-identically
+    (carried neighbors in a touched file) cancel out; a CoW DELETE
+    commit feeds 'delete' rows; steps union with _commit_version;
+    equality-delete steps are refused."""
+    loc = _mk_table(spark, tmp_path)  # keys 0..39
+    st.merge_snapshot_commit(
+        spark,
+        loc,
+        _batch(spark, [(15, "UPD"), (105, "NEW")]),
+        ["k"],
+        _part_of,
+        touched=[1, 10],
+    )
+    ch = {
+        (r["_change_type"], r["k"]): (r["val"], r["_commit_version"])
+        for r in st.read_changes(spark, loc, 0, 1, ["k"]).collect()
+    }
+    # exactly 3 rows: carried neighbors (10..19 minus 15) cancelled
+    assert ch == {
+        ("update_preimage", 15): ("v15", 1),
+        ("update_postimage", 15): ("UPD", 1),
+        ("insert", 105): ("NEW", 1),
+    }
+    # a CoW delete of month 0 produces 'delete' rows at step 2;
+    # range 0..2 unions both steps
+    st.delete_where_commit(spark, loc, 0, 0)
+    ch2 = st.read_changes(spark, loc, 0, 2, ["k"])
+    by_type = {}
+    for r in ch2.collect():
+        by_type.setdefault(r["_change_type"], set()).add(r["k"])
+    assert by_type["delete"] == set(range(10))
+    assert by_type["insert"] == {105}
+    assert (
+        by_type["update_preimage"] == by_type["update_postimage"] == {15}
+    )
+    # empty range; metadata-only step contributes nothing
+    assert st.read_changes(spark, loc, 1, 1, ["k"]).count() == 0
+    st.evolve_snapshot_schema(spark, loc, [("note", "string")])
+    assert st.read_changes(spark, loc, 2, 3, ["k"]).count() == 0
+    # an equality-delete step is refused
+    st.delete_keys_commit(
+        spark, loc, spark.createDataFrame([(25,)], "k int"), ["k"]
+    )
+    with pytest.raises(ValueError):
+        st.read_changes(spark, loc, 0, st.latest_version(loc), ["k"])
+
+
 def test_schema_evolution_is_metadata_only(spark, tmp_path):
     """ADD COLUMN: child manifest carries the widened schema over the
     PARENT'S file list by identity — zero data files written; old
