@@ -977,7 +977,9 @@ def table_delete_mor(spark, sf_dir):
         .filter(F.col("o_custkey") % 500 == 3)
         .select("o_orderkey")
     )
-    delete_keys_commit(spark, loc, doomed, ["o_orderkey"])
+    delete_keys_commit(
+        spark, loc, doomed, ["o_orderkey"], tag="custkey_mod500_3"
+    )
     return read_snapshot(spark, loc).select(*_SNAP_OUT_COLS)
 
 

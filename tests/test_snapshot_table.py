@@ -343,6 +343,12 @@ def test_delete_mor_writes_keys_not_data(spark, tmp_path):
     # zero keys: no commit at all
     empty = spark.createDataFrame([], "k int")
     assert st.delete_keys_commit(spark, loc, empty, ["k"]) == 1
+    # tag idempotence: a tagged delete re-applied is a no-op commit
+    one = spark.createDataFrame([(9,)], "k int")
+    v_t = st.delete_keys_commit(spark, loc, one, ["k"], tag="job9")
+    assert v_t == 2
+    assert st.delete_keys_commit(spark, loc, one, ["k"], tag="job9") == 2
+    assert 9 not in _state(spark, loc)
     # mixed delete keys are refused
     with pytest.raises(ValueError):
         st.delete_keys_commit(
