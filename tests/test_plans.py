@@ -751,3 +751,36 @@ def test_snapshot_merge_never_shuffles_the_table(spark):
     plan = physical(spark, "upsert_merge_snapshot")
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_incremental_read_is_map_only(spark):
+    """table_incremental_read: the catch-up read plans over the
+    manifest DIFF's file list alone — a pure scan, zero exchanges,
+    no join (untouched history never even reaches the plan)."""
+    plan = physical(spark, "table_incremental_read")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_delete_mor_read_never_shuffles_data(spark):
+    """table_delete_mor: the equality delete applies as a BROADCAST
+    left-anti join — the data side scans straight into the probe, and
+    the only hash exchange in the plan is the tiny delete-key
+    distinct (never the table)."""
+    plan = physical(spark, "table_delete_mor")
+    assert "SortMergeJoin" not in plan
+    assert "LeftAnti, BuildRight" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_changes_merge_diff_shuffles_digests_not_rows(spark):
+    """table_changes_merge: the multiset diff aggregates on
+    (xxhash64 digest, key) — the wide slice never shuffles as full
+    rows; the survivor fetch is a broadcast join, not an SMJ; the
+    only hash exchanges are the digest aggregation and the
+    |changes|-sized classification window."""
+    plan = physical(spark, "table_changes_merge")
+    assert "xxhash64" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -58,6 +58,9 @@ ANNOTATED = {
     "upsert_merge_partitioned": "Partition-scoped copy-on-write MERGE (r8), PRE-WRITE frame: the live table enters through a directory-scoped read of ONLY the touched month (untouched partitions never listed), the batch broadcasts through the standard two-arm merge, and the dynamic-partition-overwrite commit rewrites exactly the touched directories.",
     "upsert_merge_snapshot": "Snapshot-table MERGE (r8), COMMIT frame: the base enters through a MANIFEST-pruned explicit file list (only files whose stats range overlaps the touched months — pruned driver-side before the engine lists anything), the batch broadcasts through the two-arm merge, and the commit is an atomic manifest link; no SortMergeJoin, no hash exchange anywhere.",
     "table_snapshot_prune_read": "Manifest file pruning (r8): the scan's file list is resolved driver-side from the snapshot manifest's per-file partition min/max — the engine receives 1-2 files of the month, not the table; the residual exact filter trims range-boundary files.",
+    "table_delete_mor": "Merge-on-read equality delete (r8): the final-state read applies the delete file as a BROADCAST left-anti join on the key — the 15M-row data side never shuffles; files newer than every delete (seq) scan with no anti-join at all.",
+    "table_incremental_read": "Incremental append scan (r8): the scan's file list is the MANIFEST DIFF of the version range — only the files the append commits added; untouched history is never listed, so catch-up cost is ∝ delta, not table.",
+    "table_changes_merge": "Change data feed of a MERGE commit (r8): removed+added files (manifest diff, bounded by the touched slice) union with a ±1 side marker; the diff shuffle carries ONLY (xxhash64 digest, key, side) — net≠0 survivors are |changes|-sized, fetched by an AQE-broadcast join and window-classified per key.",
 }
 
 
