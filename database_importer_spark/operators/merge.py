@@ -606,6 +606,33 @@ class Merger:
             "left_semi",
         ).count()
 
+    def inserted_rowcount(self) -> int:
+        """Number of rows a merge(insert=True) appends — completes the
+        reference's ``row_count_inserted`` surface (importer.py:85,138),
+        which the reference initializes to -1 and can never set because
+        its ``_insert`` body is NotImplementedError (importer.py:361).
+        This engine ships the insert arm, so the count is real: source
+        rows whose keys match no target row — exactly the rows the
+        insert arm emits (source keys are unique by the validated
+        merge contract). Same broadcast discipline as the arm itself
+        (merged()'s insert arm): the target never shuffles — its keys
+        semi-probe the broadcast source, then the source antis the
+        small matched-key set."""
+        keys = self._join_on
+        key_cols = [_qcol(k).alias(k) for k in keys]
+        if self._broadcast:
+            matched_keys = self._target.select(*key_cols).join(
+                F.broadcast(self._data.select(*key_cols)), keys, "left_semi"
+            )
+            unmatched = self._data.join(
+                F.broadcast(matched_keys), on=keys, how="left_anti"
+            )
+        else:
+            unmatched = self._hinted_source(self._data).join(
+                self._target.select(*key_cols), on=keys, how="left_anti"
+            )
+        return unmatched.count()
+
 
 def candidate_key_check(df: DataFrame, cols: list[str]) -> bool:
     """PK inference for sources without a catalog: ``cols`` is a

@@ -123,12 +123,36 @@ def _publish_manifest(loc: str, manifest: dict) -> None:
         os.unlink(tmp)
 
 
-def _file_entries(commit_dir: str, loc: str, part_col: str) -> list[dict]:
+def _col_min_max(md, name_to_idx, col):
+    """(min, max) of one column across a file's row groups from the
+    parquet FOOTER, or (None, None) when any group lacks stats or the
+    values are not JSON-portable (manifests are json)."""
+    idx = name_to_idx.get(col)
+    if idx is None:
+        return None, None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    ok = (int, float, str)
+    if not (isinstance(lo, ok) and isinstance(hi, ok)):
+        return None, None
+    return lo, hi
+
+
+def _file_entries(
+    commit_dir: str, loc: str, part_col: str, stats_cols: list[str] = ()
+) -> list[dict]:
     """Manifest entries for every parquet file Spark wrote into
-    ``commit_dir``: relative path, row count, and the partition
-    column's min/max from the parquet FOOTER (driver-side metadata
-    read bounded by the files of ONE commit — the fenced zone-map
-    class of operators/pruning; no data pages are read)."""
+    ``commit_dir``: relative path, row count, the partition column's
+    min/max, and — when the table declares secondary ``stats_cols``
+    (Iceberg per-column stats) — a ``stats`` map of per-column
+    [min, max]. All from the parquet FOOTER (driver-side metadata read
+    bounded by the files of ONE commit — the fenced zone-map class of
+    operators/pruning; no data pages are read)."""
     import pyarrow.parquet as pq
 
     entries = []
@@ -139,25 +163,24 @@ def _file_entries(commit_dir: str, loc: str, part_col: str) -> list[dict]:
         md = pq.ParquetFile(path).metadata
         if md.num_rows == 0:
             continue
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
-            part_col
-        ]
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                lo = hi = None
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        entries.append(
-            {
-                "path": os.path.relpath(path, loc),
-                "rows": md.num_rows,
-                "min": lo,
-                "max": hi,
-            }
-        )
+        name_to_idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        lo, hi = _col_min_max(md, name_to_idx, part_col)
+        e = {
+            "path": os.path.relpath(path, loc),
+            "rows": md.num_rows,
+            "min": lo,
+            "max": hi,
+        }
+        stats = {}
+        for c in stats_cols or ():
+            clo, chi = _col_min_max(md, name_to_idx, c)
+            if clo is not None:
+                stats[c] = [clo, chi]
+        if stats:
+            e["stats"] = stats
+        entries.append(e)
     return entries
 
 
@@ -169,6 +192,8 @@ def _write_commit_files(
     cluster_col=None,
     files: int | None = None,
     subdir: str | None = None,
+    sort_cols: list[str] | None = None,
+    stats_cols: list[str] = (),
 ) -> list[dict]:
     """Write ``df`` as the data files of commit ``version`` and return
     their manifest entries. Files go under a per-(version, pid) commit
@@ -182,15 +207,26 @@ def _write_commit_files(
     fan-out (an explicit repartition count bypasses AQE's small-
     partition coalescing — needed when the table is small relative to
     the advisory size but pruning granularity still matters); None
-    lets AQE size the files, the right default for merge slices."""
+    lets AQE size the files, the right default for merge slices.
+    ``sort_cols`` overrides the range-clustering columns entirely —
+    the table's declared SORT ORDER (Iceberg's write order): a table
+    point-looked-up by key clusters on the key, not the partition
+    column, so the key's per-file stats are sharp. ``stats_cols``
+    names the secondary columns whose footer min/max the manifest
+    entries carry (Iceberg per-column stats)."""
     tag = f"c{version:08d}_{os.getpid()}" + (f"_{subdir}" if subdir else "")
     commit_dir = os.path.join(loc, "data", tag)
-    cols = [F.col(part_col)] + ([F.col(cluster_col)] if cluster_col else [])
+    if sort_cols:
+        cols = [F.col(c) for c in sort_cols]
+    else:
+        cols = [F.col(part_col)] + (
+            [F.col(cluster_col)] if cluster_col else []
+        )
     head = [files] if files is not None else []
     df.repartitionByRange(*head, *cols).write.mode("overwrite").parquet(
         commit_dir
     )
-    return _file_entries(commit_dir, loc, part_col)
+    return _file_entries(commit_dir, loc, part_col, stats_cols)
 
 
 def _stamp_seq(entries: list[dict], version: int) -> list[dict]:
@@ -208,6 +244,16 @@ def _stamp_seq(entries: list[dict], version: int) -> list[dict]:
 
 def _delete_entries(m: dict) -> list[dict]:
     return m.get("deletes", [])
+
+
+def _applied_tags(m: dict) -> list[str]:
+    """Tags of every equality-delete spec EVER applied to this table —
+    persisted in the manifest and carried by every commit, including
+    compaction (which clears the live delete FILES but must not reset
+    idempotence: a re-run of the same tagged erasure job after
+    compaction would otherwise commit a fresh delete and erase keys
+    legitimately re-inserted since — ADVICE r8)."""
+    return m.get("tags", [])
 
 
 def _read_with_deletes(
@@ -261,6 +307,25 @@ def _read_with_deletes(
     return functools.reduce(DataFrame.unionAll, parts)
 
 
+def _table_write_opts(m: dict) -> dict:
+    """The table-level write contract every commit must preserve:
+    declared sort order and secondary-stats columns, carried in the
+    manifest from create time (absent on pre-r9 tables → defaults)."""
+    return {
+        "sort_cols": m.get("sort_cols"),
+        "stats_cols": m.get("stats_cols", []),
+    }
+
+
+def _carry_write_contract(manifest: dict, parent: dict) -> dict:
+    """Copy the table-level write-contract fields from the parent
+    manifest into a child manifest (no-op for pre-r9 tables)."""
+    for k in ("sort_cols", "stats_cols"):
+        if k in parent:
+            manifest[k] = parent[k]
+    return manifest
+
+
 def create_snapshot_table(
     spark: SparkSession,
     loc: str,
@@ -268,12 +333,24 @@ def create_snapshot_table(
     part_col: str,
     cluster_col: str | None = None,
     files: int | None = None,
+    sort_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Create the table (version 0) if no manifest exists yet; returns
     the latest version either way. Cross-process safe: the layout lock
     serializes builders, the v0 link is the commit point, and a table
     is only ever created ONCE (unlike layouts the contents then
-    diverge by design, so no fingerprint re-derivation)."""
+    diverge by design, so no fingerprint re-derivation).
+
+    ``sort_cols`` declares the table's WRITE ORDER (Iceberg sort
+    order): files range-cluster on these columns instead of
+    (part_col, cluster_col) — the layout for tables point-looked-up
+    by a key rather than partition-scanned. ``stats_cols`` declares
+    the secondary columns whose per-file footer min/max every commit
+    records in the manifest (Iceberg per-column stats — the metadata
+    that lets a key-range read prune files the way part_col stats
+    prune partition reads). Both persist in the manifest and every
+    later commit preserves them."""
     v = latest_version(loc)
     if v is not None:
         return v
@@ -283,7 +360,16 @@ def create_snapshot_table(
             return v
         df = df_factory()
         entries = _stamp_seq(
-            _write_commit_files(df, loc, 0, part_col, cluster_col, files=files),
+            _write_commit_files(
+                df,
+                loc,
+                0,
+                part_col,
+                cluster_col,
+                files=files,
+                sort_cols=sort_cols,
+                stats_cols=stats_cols or [],
+            ),
             0,
         )
         manifest = {
@@ -294,6 +380,10 @@ def create_snapshot_table(
             "schema": df.schema.jsonValue(),
             "files": entries,
         }
+        if sort_cols:
+            manifest["sort_cols"] = list(sort_cols)
+        if stats_cols:
+            manifest["stats_cols"] = list(stats_cols)
         _publish_manifest(loc, manifest)
     return 0
 
@@ -316,6 +406,59 @@ def snapshot_files(
             or any(e["min"] <= v <= e["max"] for v in vals)
         ]
     return m, [os.path.join(loc, e["path"]) for e in files]
+
+
+def _entry_range(e: dict, col: str, part_col: str):
+    """A file entry's [min, max] for ``col`` from the manifest —
+    part_col from the first-class fields, anything else from the
+    per-column ``stats`` map; (None, None) when unknown."""
+    if col == part_col:
+        return e.get("min"), e.get("max")
+    r = e.get("stats", {}).get(col)
+    return (r[0], r[1]) if r else (None, None)
+
+
+def snapshot_files_keyrange(
+    loc: str, version: int, col: str, lo, hi
+) -> tuple[dict, list[dict]]:
+    """Resolve (manifest, surviving file ENTRIES) for a version,
+    pruning by ``col BETWEEN lo AND hi`` against the manifest's
+    per-file column stats (Iceberg per-column stats: the partition
+    column's min/max or a declared secondary stats column) —
+    metadata-only, before any engine listing or IO. On a table whose
+    sort order clusters ``col``, a key-range lookup opens 1-2 of N
+    files; a file with absent stats is conservatively kept."""
+    m = load_manifest(loc, version)
+    part_col = m["part_col"]
+    kept = []
+    for e in m["files"]:
+        e_lo, e_hi = _entry_range(e, col, part_col)
+        if e_lo is None or (e_hi >= lo and e_lo <= hi):
+            kept.append(e)
+    return m, kept
+
+
+def read_snapshot_keyrange(
+    spark: SparkSession,
+    loc: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Plan a key-range read: manifest-pruned file list (per-column
+    stats), equality deletes applied, and the exact BETWEEN predicate
+    as the residual filter (stats pruning is file-granular; the
+    predicate still trims the boundary files' out-of-range rows and
+    reaches the parquet scan for row-group pruning inside them)."""
+    if version is None:
+        version = latest_version(loc)
+        if version is None:
+            raise FileNotFoundError(f"no snapshot table at {loc}")
+    m, entries = snapshot_files_keyrange(loc, version, col, lo, hi)
+    schema = T.StructType.fromJson(m["schema"])
+    df = _read_with_deletes(spark, loc, schema, entries, _delete_entries(m))
+    return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
 
 
 def read_snapshot(
@@ -405,7 +548,10 @@ def merge_snapshot_commit(
         base_v = m["version"]
         version = base_v + 1
         new_files = _stamp_seq(
-            _write_commit_files(out, loc, version, part_col), version
+            _write_commit_files(
+                out, loc, version, part_col, **_table_write_opts(m)
+            ),
+            version,
         )
         keep = {e["path"] for e in candidates}
         manifest = {
@@ -420,9 +566,11 @@ def merge_snapshot_commit(
             # rewritten candidates were read WITH deletes applied and
             # their replacements carry seq=version > every delete seq.
             "deletes": _delete_entries(m),
+            "tags": _applied_tags(m),
+            "commit": {"op": "merge"},
         }
         try:
-            _publish_manifest(loc, manifest)
+            _publish_manifest(loc, _carry_write_contract(manifest, m))
             return version
         except FileExistsError:
             # a peer claimed this version first: drop our orphaned
@@ -486,9 +634,11 @@ def evolve_snapshot_schema(
             "schema": schema.jsonValue(),
             "files": m["files"],
             "deletes": _delete_entries(m),
+            "tags": _applied_tags(m),
+            "commit": {"op": "evolve_schema"},
         }
         try:
-            _publish_manifest(loc, manifest)
+            _publish_manifest(loc, _carry_write_contract(manifest, m))
             return base_v + 1
         except FileExistsError:
             continue  # pure metadata: nothing to clean, just recompute
@@ -496,6 +646,29 @@ def evolve_snapshot_schema(
         f"snapshot schema evolution on {loc}: lost the optimistic-commit "
         f"race {max_attempts} times"
     )
+
+
+def _check_append_schema(df: DataFrame, m: dict, loc: str) -> None:
+    """Raise at COMMIT time if ``df`` does not match the manifest
+    schema by name and type (partition column included). Extra columns,
+    missing columns, and type drift all fail here instead of at a
+    later read (ADVICE r8). Nullability is not compared — parquet
+    carries per-file nullability and the manifest schema's nullable
+    flags are read-side declarations, not write constraints."""
+    want = T.StructType.fromJson(m["schema"])
+    have = {f.name: f.dataType for f in df.schema.fields}
+    missing = [f.name for f in want.fields if f.name not in have]
+    extra = [n for n in have if n not in want.names]
+    drift = [
+        f"{f.name}: {have[f.name].simpleString()} != {f.dataType.simpleString()}"
+        for f in want.fields
+        if f.name in have and have[f.name] != f.dataType
+    ]
+    if missing or extra or drift:
+        raise ValueError(
+            f"append to {loc} does not match the table schema — "
+            f"missing {missing}, unexpected {extra}, type drift {drift}"
+        )
 
 
 def append_snapshot_commit(
@@ -514,7 +687,12 @@ def append_snapshot_commit(
     if the table has moved past that version the append returns None
     without committing — the idempotence guard for ensure-style
     callers racing across processes (exactly one of N racers lands
-    the load, the rest observe it already done)."""
+    the load, the rest observe it already done). The appended frame is
+    validated against the manifest schema AT COMMIT TIME (ADVICE r8):
+    the explicit-schema parquet read matches columns BY NAME, so a
+    drifted append would otherwise be accepted silently and surface
+    only at a later read as NULL columns or a runtime cast error far
+    from the faulty commit."""
     for _ in range(max_attempts):
         base_v = latest_version(loc)
         if base_v is None:
@@ -522,10 +700,16 @@ def append_snapshot_commit(
         if expected_parent is not None and base_v != expected_parent:
             return None
         m = load_manifest(loc, base_v)
+        _check_append_schema(df, m, loc)
         version = base_v + 1
         new_files = _stamp_seq(
             _write_commit_files(
-                df, loc, version, m["part_col"], files=files
+                df,
+                loc,
+                version,
+                m["part_col"],
+                files=files,
+                **_table_write_opts(m),
             ),
             version,
         )
@@ -537,13 +721,14 @@ def append_snapshot_commit(
             "schema": m["schema"],
             "files": m["files"] + new_files,
             "deletes": _delete_entries(m),
+            "tags": _applied_tags(m),
             "commit": {
                 "op": "append",
                 "rows": sum(e["rows"] for e in new_files),
             },
         }
         try:
-            _publish_manifest(loc, manifest)
+            _publish_manifest(loc, _carry_write_contract(manifest, m))
             return version
         except FileExistsError:
             shutil.rmtree(
@@ -554,6 +739,20 @@ def append_snapshot_commit(
         f"snapshot append on {loc}: lost the optimistic-commit race "
         f"{max_attempts} times"
     )
+
+
+def commit_added_entries(loc: str, version: int) -> list[dict]:
+    """File entries a commit ADDED relative to its parent — the
+    commit's own data output, resolved by manifest diff
+    (metadata-only; bounded by the commit's touched slice for
+    copy-on-write commits). v0 has no parent: everything is added."""
+    m = load_manifest(loc, version)
+    if m["parent"] is None:
+        return list(m["files"])
+    parent_paths = {
+        e["path"] for e in load_manifest(loc, m["parent"])["files"]
+    }
+    return [e for e in m["files"] if e["path"] not in parent_paths]
 
 
 def incremental_entries(
@@ -647,7 +846,12 @@ def read_changes(
     without touching files, so a step whose delete list changes is
     refused (emitting those as CDC would require locating the doomed
     keys' rows — a table scan this primitive promises not to do;
-    compact the debt first). Pure-metadata steps contribute nothing.
+    compact the debt first). COMPACTION steps are skipped outright:
+    content-preserving by contract (their op tag is written only by
+    compact_snapshot_commit), so the delta is empty by construction
+    and diffing it would cost |table| for nothing (ADVICE r8) — this
+    is also what keeps the bounded-cost claim true across maintenance
+    commits. Pure-metadata steps contribute nothing.
     Old-side reads honor the deletes that applied to the removed
     files, so a row already invisible at ``from_version`` never
     reports as deleted twice."""
@@ -662,6 +866,16 @@ def read_changes(
         m = load_manifest(loc, v)
         if m["parent"] != v - 1:
             raise ValueError(f"broken version chain at v{v} in {loc}")
+        if m.get("commit", {}).get("op") == "compact":
+            # compaction is content-preserving BY CONTRACT (the op tag
+            # is written only by compact_snapshot_commit, which reads
+            # and rewrites the same rows) — digest-diffing it would
+            # cost |table| to discover an empty delta (ADVICE r8).
+            # Skipping also keeps a post-MoR-delete compaction legal
+            # inside a range: its cleared delete list reflects
+            # materialized, not changed, rows.
+            prev = m
+            continue
         if _delete_entries(m) != _delete_entries(prev):
             raise ValueError(
                 f"v{v} of {loc} changes equality-delete files — row-level "
@@ -863,7 +1077,12 @@ def delete_where_commit(
                 )
                 new_files += _stamp_seq(
                     _write_commit_files(
-                        kept.filter(cond), loc, version, part_col, subdir=tag
+                        kept.filter(cond),
+                        loc,
+                        version,
+                        part_col,
+                        subdir=tag,
+                        **_table_write_opts(m),
                     ),
                     version,
                 )
@@ -875,6 +1094,7 @@ def delete_where_commit(
             "schema": m["schema"],
             "files": carried + new_files,
             "deletes": _delete_entries(m),
+            "tags": _applied_tags(m),
             "commit": {
                 "op": "delete_where",
                 "lo": part_lo,
@@ -885,7 +1105,7 @@ def delete_where_commit(
             },
         }
         try:
-            _publish_manifest(loc, manifest)
+            _publish_manifest(loc, _carry_write_contract(manifest, m))
             return version
         except FileExistsError:
             for d in written_dirs:
@@ -917,12 +1137,20 @@ def delete_keys_commit(
     deleted key wins by sequence number (its files outrank the
     delete); ``compact_snapshot_commit`` materializes and clears the
     accumulated delete debt. Deleting zero keys returns the current
-    version without a commit. ``tag`` names the delete's SPEC for
-    idempotence: if a live delete entry already carries the tag the
-    commit is skipped (re-running the same erasure job converges
-    instead of stacking identical delete files; concurrent
-    first-timers may both land — harmless, the anti-join has set
-    semantics — and every later run skips)."""
+    version without a commit. NULL key values are DROPPED before the
+    delete file is written (ADVICE r8): the read-side equality
+    anti-join can never match a NULL key, so writing them would
+    silently delete nothing while the delete-file row count claimed
+    otherwise — dropping them keeps the file an honest statement of
+    effect (SQL semantics agree: ``key IN (NULL)`` deletes no row).
+    ``tag`` names the delete's SPEC for idempotence: if the tag is in
+    the manifest's PERSISTED applied-tag list the commit is skipped —
+    the list survives compaction (which clears the live delete files
+    but must not reset idempotence, ADVICE r8), so re-running the
+    same erasure job converges instead of stacking identical delete
+    files or re-erasing keys legitimately re-inserted since
+    compaction. Concurrent first-timers may both land — harmless, the
+    anti-join has set semantics — and every later run skips."""
     for _ in range(max_attempts):
         base_v = latest_version(loc)
         if base_v is None:
@@ -940,13 +1168,21 @@ def delete_keys_commit(
                 f"snapshot table {loc}: existing delete files use key "
                 f"{existing[0]['key']}, refusing mixed-key deletes"
             )
-        if tag is not None and any(d.get("tag") == tag for d in existing):
+        if tag is not None and (
+            tag in _applied_tags(m)
+            or any(d.get("tag") == tag for d in existing)
+        ):
             return base_v
         version = base_v + 1
         del_dir = os.path.join(loc, "data", f"d{version:08d}_{os.getpid()}")
-        keys_df.select(*key_cols).distinct().coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(del_dir)
+        notnull = functools.reduce(
+            lambda a, c: a & F.col(c).isNotNull(),
+            key_cols,
+            F.lit(True),
+        )
+        keys_df.select(*key_cols).filter(notnull).distinct().coalesce(
+            1
+        ).write.mode("overwrite").parquet(del_dir)
         import pyarrow.parquet as pq
 
         entries = []
@@ -976,13 +1212,14 @@ def delete_keys_commit(
             "schema": m["schema"],
             "files": m["files"],
             "deletes": existing + entries,
+            "tags": _applied_tags(m) + ([tag] if tag is not None else []),
             "commit": {
                 "op": "delete_keys",
                 "keys": sum(e["rows"] for e in entries),
             },
         }
         try:
-            _publish_manifest(loc, manifest)
+            _publish_manifest(loc, _carry_write_contract(manifest, m))
             return version
         except FileExistsError:
             shutil.rmtree(del_dir, ignore_errors=True)
@@ -1018,7 +1255,14 @@ def compact_snapshot_commit(
         df = read_snapshot(spark, loc, version=base_v)
         version = base_v + 1
         new_files = _stamp_seq(
-            _write_commit_files(df, loc, version, part_col, files=files),
+            _write_commit_files(
+                df,
+                loc,
+                version,
+                part_col,
+                files=files,
+                **_table_write_opts(m),
+            ),
             version,
         )
         manifest = {
@@ -1031,11 +1275,20 @@ def compact_snapshot_commit(
             # compaction reads THROUGH the deletes (read_snapshot
             # applies them), so the rewritten content has them
             # materialized — the child clears the delete list: this is
-            # how merge-on-read debt is retired.
+            # how merge-on-read debt is retired. Applied-tag history is
+            # CARRIED (ADVICE r8): clearing it here would let a re-run
+            # of an old tagged erasure job commit again and delete keys
+            # legitimately re-inserted since.
             "deletes": [],
+            "tags": _applied_tags(m),
+            # the op tag is a CONTRACT statement: compaction is
+            # content-preserving by construction, which is what lets
+            # read_changes skip the step instead of digest-diffing the
+            # whole table to discover an empty delta.
+            "commit": {"op": "compact"},
         }
         try:
-            _publish_manifest(loc, manifest)
+            _publish_manifest(loc, _carry_write_contract(manifest, m))
             return version
         except FileExistsError:
             shutil.rmtree(

@@ -1036,11 +1036,10 @@ def table_changes_merge(spark, sf_dir):
     its derived state at |commit| cost, not |table|. Hash-matched
     against the batch's update/insert effect derived straight from
     the source."""
-    from database_importer_spark.operators.snapshot_table import read_changes
-
     from database_importer_spark.operators.snapshot_table import (
         latest_version,
         merge_snapshot_commit,
+        read_changes,
     )
 
     # own table: only this key commits here, so v1 is ALWAYS the batch
@@ -1113,6 +1112,115 @@ def table_incremental_read(spark, sf_dir):
     return read_incremental(spark, loc, 0, latest_version(loc)).select(
         *_SNAP_OUT_COLS
     )
+
+
+@declare(
+    "upsert_merge_commit_only",
+    oracle=f"""
+    SELECT * FROM ({_PART_MERGE_ORACLE}) m
+    WHERE year(m.o_orderdate) * 100 + month(m.o_orderdate) = 199703
+    """,
+)
+def upsert_merge_commit_only(spark, sf_dir):
+    """The MERGE benched at the cost of the COMMIT ITSELF (VERDICT r8
+    item 2): same snapshot-table copy-on-write merge as
+    ``upsert_merge_snapshot``, but the returned frame is the commit's
+    OWN OUTPUT — the rows its new data files hold (manifest diff →
+    added entries; operators/snapshot_table.commit_added_entries),
+    restricted to the batch's month — instead of a full-table audit
+    readback. The full-state keys stay as the correctness contract
+    (they prove untouched files kept their bytes); this key separates
+    MERGE cost from read-the-whole-table cost in the bench: every
+    timed component — manifest-pruned slice read, broadcast merge
+    arms, new files + manifest, bounded added-files readback — scales
+    with the commit, not the table, which is the number that matters
+    at 100 TB (the audit read alone ≈ DuckDB's whole CTAS in the
+    full-state rows, BASELINE r8 decompositions). Exactness: the
+    candidate set is stats-complete for the touched month, so the new
+    files contain every post-merge row of that month (neighbor months
+    ride along in rewritten files and are filtered out); hash-matched
+    against the merged-state oracle restricted to the same month."""
+    from database_importer_spark.operators.snapshot_table import (
+        commit_added_entries,
+        load_manifest,
+        merge_snapshot_commit,
+    )
+    from database_importer_spark.operators.snapshot_table import (
+        _read_with_deletes,
+    )
+    from pyspark.sql import types as T
+
+    loc = _snap_create_named(spark, sf_dir, "cm")
+    batch, touched = _snap_batch_touched(spark, sf_dir, loc)
+    v = merge_snapshot_commit(
+        spark, loc, batch, ["o_orderkey"], _pm_month_of, touched
+    )
+    m = load_manifest(loc, v)
+    schema = T.StructType.fromJson(m["schema"])
+    added = commit_added_entries(loc, v)
+    # new files carry seq=v > every delete seq, so no delete applies
+    out = _read_with_deletes(spark, loc, schema, added, [])
+    return out.filter(F.col(_PM_PART_COL).isin(touched)).select(
+        *_SNAP_OUT_COLS
+    )
+
+
+_PTL_LO, _PTL_HI = 1000, 2000
+
+
+@declare(
+    "table_point_lookup_pruned",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey BETWEEN {_PTL_LO} AND {_PTL_HI}
+    """,
+)
+def table_point_lookup_pruned(spark, sf_dir):
+    """Secondary-key FILE PRUNING from per-column manifest stats
+    (VERDICT r8 item 1 — the Iceberg per-column-stats half of the
+    protocol): a key-range read by ``o_orderkey`` planned entirely
+    from the manifest.
+
+    The table declares ``sort_cols=["o_orderkey"]`` (Iceberg write
+    order: files range-cluster on the KEY, so each covers a contiguous
+    disjoint key slice) and ``stats_cols=["o_orderkey"]`` (every
+    commit records the key's per-file footer min/max in the manifest).
+    The read prunes DRIVER-SIDE: files whose key range misses
+    [lo, hi] are never listed, opened, or read
+    (operators/snapshot_table.snapshot_files_keyrange — same fenced
+    metadata class as the month pruning of table_snapshot_prune_read,
+    now for an arbitrary declared column); the residual BETWEEN
+    reaches the parquet scan and row-group-prunes inside the 1-2
+    surviving boundary files. This is the most common real read after
+    partition pruning — point/range lookup by primary key on a
+    100 TB table at manifest + 1-file cost — and the write contract
+    (sort order + stats columns) persists across later commits, so
+    the pruning stays sharp as the table mutates. inputFiles-pinned
+    in tests/test_snapshot_table.py."""
+    from database_importer_spark.operators.snapshot_table import (
+        create_snapshot_table,
+        read_snapshot_keyrange,
+    )
+
+    loc = _snap_loc(spark, sf_dir, "ptl")
+
+    def src():
+        o = t(spark, sf_dir, "orders")
+        return o.withColumn(_PM_PART_COL, _pm_month_of(o))
+
+    create_snapshot_table(
+        spark,
+        loc,
+        src,
+        _PM_PART_COL,
+        files=16,
+        sort_cols=["o_orderkey"],
+        stats_cols=["o_orderkey"],
+    )
+    df = read_snapshot_keyrange(spark, loc, "o_orderkey", _PTL_LO, _PTL_HI)
+    return df.select(*_SNAP_OUT_COLS)
 
 
 @declare("sink_jdbc_live_merge", oracle=_UPSERT_ORACLE)

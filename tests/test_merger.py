@@ -378,3 +378,33 @@ def test_validate_anchor_covers_checkpointed_source(spark, tmp_path):
     with pytest.raises(MergerError, match="duplicate values"):
         m_dup.validate_unique_keys()
     assert len(memo) == 1  # the failure was not recorded
+
+
+def test_inserted_rowcount(spark, groceries):
+    """Reference parity for ``row_count_inserted`` (importer.py:138):
+    the reference initializes it to -1 and can never set it (its
+    ``_insert`` is NotImplementedError, importer.py:361); this engine
+    completes the insert half, so the count is the anti-join count —
+    source rows whose keys match no target row."""
+    src = spark.createDataFrame(
+        [("ID000001", 50), ("ID000099", 42), ("ID000100", 7)],
+        "id string, quantity int",
+    )
+    m = Merger(groceries, src, join_on=["id"], subset=["quantity"])
+    assert m.inserted_rowcount() == 2
+    assert m.updated_rowcount() == 1
+    # counts agree with the arms they mirror
+    assert m.merged(update=True, insert=True).count() == len(SEED) + 2
+    # non-broadcast shape counts the same
+    m2 = Merger(
+        groceries, src, join_on=["id"], subset=["quantity"], broadcast=False
+    )
+    assert m2.inserted_rowcount() == 2
+    # all-matched source: zero inserts
+    m3 = Merger(
+        groceries,
+        spark.createDataFrame([("ID000002", 1)], "id string, quantity int"),
+        join_on=["id"],
+        subset=["quantity"],
+    )
+    assert m3.inserted_rowcount() == 0

@@ -131,8 +131,8 @@ def test_optimistic_conflict_retries_and_cleans_orphans(
     real_write = st._write_commit_files
     fired = {"done": False}
 
-    def racing_write(df, loc_, version, part_col, cluster_col=None):
-        files = real_write(df, loc_, version, part_col, cluster_col)
+    def racing_write(df, loc_, version, part_col, cluster_col=None, **kw):
+        files = real_write(df, loc_, version, part_col, cluster_col, **kw)
         if not fired["done"]:
             fired["done"] = True
             # a peer claims the same version first: same files as the
@@ -542,3 +542,186 @@ def test_schema_evolution_is_metadata_only(spark, tmp_path):
     rows = {r["k"]: r["note"] for r in st.read_snapshot(spark, loc).collect()}
     assert rows[15] == "hello"
     assert sum(1 for n in rows.values() if n is not None) == 1
+
+
+def test_delete_mor_null_keys_dropped(spark, tmp_path):
+    """NULL key values never match the read-side equality anti-join,
+    so the commit DROPS them (ADVICE r8): the delete file's row count
+    states real effect, and an all-NULL delete is a no-op commit."""
+    loc = _mk_table(spark, tmp_path)
+    keys = spark.createDataFrame([(5,), (None,), (25,)], "k int")
+    v = st.delete_keys_commit(spark, loc, keys, ["k"])
+    assert v == 1
+    m = st.load_manifest(loc, 1)
+    assert m["deletes"][0]["rows"] == 2  # NULL dropped, not counted
+    got = _state(spark, loc)
+    assert set(got) == set(range(40)) - {5, 25}
+    # all-NULL keys: nothing to delete, no commit
+    only_null = spark.createDataFrame([(None,)], "k int")
+    assert st.delete_keys_commit(spark, loc, only_null, ["k"]) == 1
+
+
+def test_delete_mor_tag_survives_compaction(spark, tmp_path):
+    """Applied-tag history persists in the manifest ACROSS compaction
+    (ADVICE r8): after OPTIMIZE clears the live delete files, a re-run
+    of the same tagged erasure job must still skip — otherwise it
+    would also erase keys legitimately re-inserted since."""
+    loc = _mk_table(spark, tmp_path)
+    one = spark.createDataFrame([(15,)], "k int")
+    v1 = st.delete_keys_commit(spark, loc, one, ["k"], tag="erase15")
+    assert v1 == 1 and 15 not in _state(spark, loc)
+    v2 = st.compact_snapshot_commit(spark, loc, files=2)
+    m2 = st.load_manifest(loc, v2)
+    assert m2["deletes"] == [] and m2["tags"] == ["erase15"]
+    # key 15 legitimately re-inserted after the erasure
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(15, "BACK")]), ["k"], _part_of, touched=[1]
+    )
+    assert _state(spark, loc)[15] == ("BACK", 1)
+    # the re-run of the same tagged job is a no-op: no new version,
+    # and the re-inserted key SURVIVES
+    v_latest = st.latest_version(loc)
+    assert st.delete_keys_commit(spark, loc, one, ["k"], tag="erase15") == v_latest
+    assert _state(spark, loc)[15] == ("BACK", 1)
+
+
+def test_append_schema_drift_rejected_at_commit(spark, tmp_path):
+    """Schema drift fails AT COMMIT TIME (ADVICE r8), not at a later
+    read: missing column, extra column, and type drift all raise."""
+    loc = _mk_table(spark, tmp_path)
+    ok = spark.createDataFrame([(100, "v100", 10)], "k int, val string, m int")
+    missing = spark.createDataFrame([(101, "x")], "k int, val string")
+    extra = spark.createDataFrame(
+        [(102, "x", 10, 1.0)], "k int, val string, m int, bonus double"
+    )
+    drift = spark.createDataFrame(
+        [(103, "x", 10)], "k int, val string, m bigint"
+    )
+    for bad in (missing, extra, drift):
+        with pytest.raises(ValueError, match="does not match the table schema"):
+            st.append_snapshot_commit(spark, loc, bad)
+    assert st.append_snapshot_commit(spark, loc, ok) == 1
+    assert _state(spark, loc)[100] == ("v100", 10)
+
+
+def test_read_changes_skips_compaction_step(spark, tmp_path):
+    """A compaction commit inside a changes range is skipped by
+    contract (op tag): the feed over merge→compact equals the feed
+    over the merge alone, and no |table|-sized diff runs (ADVICE r8).
+    A post-MoR-delete compaction is also legal to SKIP even though its
+    delete list differs from the parent's."""
+    loc = _mk_table(spark, tmp_path)
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(15, "UPD"), (105, "NEW")]),
+        ["k"], _part_of, touched=[1, 10],
+    )
+    st.compact_snapshot_commit(spark, loc, files=2)
+    one_step = st.read_changes(spark, loc, 0, 1, ["k"]).collect()
+    with_compact = st.read_changes(spark, loc, 0, 2, ["k"]).collect()
+    key = lambda r: (r["_change_type"], r["k"])  # noqa: E731
+    assert sorted(with_compact, key=key) == sorted(one_step, key=key)
+    # compact right after an equality delete: the range starting AT
+    # the delete version skips the compact cleanly...
+    st.delete_keys_commit(
+        spark, loc, spark.createDataFrame([(25,)], "k int"), ["k"]
+    )
+    v4 = st.compact_snapshot_commit(spark, loc, files=2)
+    assert st.read_changes(spark, loc, 3, v4, ["k"]).count() == 0
+    # ...while a range CROSSING the delete step itself still refuses
+    with pytest.raises(ValueError, match="equality-delete"):
+        st.read_changes(spark, loc, 2, 3, ["k"])
+
+
+def test_per_column_stats_and_keyrange_pruning(spark, tmp_path):
+    """Per-column manifest stats (VERDICT r8 item 1): a table declaring
+    sort_cols/stats_cols on the key range-clusters files BY KEY, every
+    manifest entry carries the key's [min, max], and a key-range read
+    prunes files driver-side (inputFiles pin) while staying exact."""
+    loc = str(tmp_path / "kt")
+
+    def src():
+        df = spark.range(400).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        return df.withColumn("m", F.floor(F.col("k") / 100).cast("int"))
+
+    st.create_snapshot_table(
+        spark, loc, src, "m", files=4, sort_cols=["k"], stats_cols=["k"]
+    )
+    m0 = st.load_manifest(loc, 0)
+    assert m0["sort_cols"] == ["k"] and m0["stats_cols"] == ["k"]
+    # every entry carries key stats; files cover disjoint key slices
+    ranges = sorted(e["stats"]["k"] for e in m0["files"])
+    assert len(ranges) == 4
+    for (alo, ahi), (blo, _bhi) in zip(ranges, ranges[1:]):
+        assert alo <= ahi < blo
+    # pruning: a range inside one slice keeps exactly the right files
+    _m, kept = st.snapshot_files_keyrange(loc, 0, "k", 150, 160)
+    assert 0 < len(kept) < 4
+    df = st.read_snapshot_keyrange(spark, loc, "k", 150, 160)
+    assert len(df.inputFiles()) == len(kept)
+    assert {r["k"] for r in df.collect()} == set(range(150, 161))
+    # part_col pruning still works on the same table (min/max kept)
+    _m, by_month = st.snapshot_files_keyrange(loc, 0, "m", 2, 2)
+    assert len(by_month) <= 4
+
+
+def test_write_contract_persists_across_commits(spark, tmp_path):
+    """sort_cols/stats_cols persist in child manifests and every later
+    commit keeps recording key stats — the pruning stays sharp as the
+    table mutates."""
+    loc = str(tmp_path / "kt2")
+
+    def src():
+        df = spark.range(400).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        return df.withColumn("m", F.floor(F.col("k") / 100).cast("int"))
+
+    st.create_snapshot_table(
+        spark, loc, src, "m", files=4, sort_cols=["k"], stats_cols=["k"]
+    )
+    batch = spark.createDataFrame([(150, "UPD"), (450, "NEW")], "k int, val string")
+    v = st.merge_snapshot_commit(
+        spark, loc, batch,
+        ["k"], lambda d: F.floor(F.col("k") / 100).cast("int"), touched=[1, 4],
+    )
+    m1 = st.load_manifest(loc, v)
+    assert m1["sort_cols"] == ["k"] and m1["stats_cols"] == ["k"]
+    new_paths = {e["path"] for e in m1["files"]} - {
+        e["path"] for e in st.load_manifest(loc, 0)["files"]
+    }
+    assert new_paths
+    for e in m1["files"]:
+        if e["path"] in new_paths:
+            assert "stats" in e and "k" in e["stats"]
+    got = {r["k"]: r["val"] for r in st.read_snapshot_keyrange(
+        spark, loc, "k", 140, 460, version=v
+    ).collect()}
+    assert got[150] == "UPD" and got[450] == "NEW" and got[140] == "v140"
+    # compaction preserves the contract too
+    vc = st.compact_snapshot_commit(spark, loc, files=2)
+    mc = st.load_manifest(loc, vc)
+    assert mc["sort_cols"] == ["k"] and mc["stats_cols"] == ["k"]
+    assert all("stats" in e for e in mc["files"])
+
+
+def test_declared_point_lookup_is_file_pruned(spark):
+    """The declared key-range lookup hands the engine strictly fewer
+    files than the table holds, exactly the manifest-selected set."""
+    from database_importer_spark.plans.part_a import (
+        _PTL_HI,
+        _PTL_LO,
+        _snap_loc,
+    )
+
+    df = REGISTRY["table_point_lookup_pruned"].fn(spark, SF)
+    loc = _snap_loc(spark, SF, "ptl")
+    v = st.latest_version(loc)
+    m, kept = st.snapshot_files_keyrange(loc, v, "o_orderkey", _PTL_LO, _PTL_HI)
+    assert 0 < len(kept) < len(m["files"])
+    assert sorted(set(os.path.basename(f) for f in df.inputFiles())) == sorted(
+        set(os.path.basename(e["path"]) for e in kept)
+    )
