@@ -58,10 +58,14 @@ HEADLINE = [
     "limit_topk_global",
     "limit_topk_pruned",
     "table_snapshot_prune_read",
+    "table_point_lookup_pruned",
     "table_delete_where",
     "table_delete_mor",
     "table_incremental_read",
     "table_changes_merge",
+    "table_changes_append",
+    "table_changes_feed",
+    "upsert_merge_commit_only",
     "fn_math_core",
     "llm_dedup_exact",
     "llm_similarity_topk",

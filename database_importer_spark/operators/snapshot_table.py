@@ -466,11 +466,17 @@ def read_snapshot(
     loc: str,
     version: int | None = None,
     part_values: list | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Plan over one immutable snapshot: explicit schema (no footer
     re-inference — the r6 footer-cache lesson) over the manifest's
     pruned file list. The returned plan can never observe a concurrent
-    commit: its files are immutable until vacuum retires the version."""
+    commit: its files are immutable until vacuum retires the version.
+    ``ref`` resolves a named tag or branch head to its version."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version OR ref, not both")
+        version = resolve_ref(loc, ref)
     if version is None:
         version = latest_version(loc)
         if version is None:
@@ -528,7 +534,8 @@ def merge_snapshot_commit(
     part_of,  # callable: merged DataFrame -> partition-value Column
     touched: list,
     max_attempts: int = 5,
-) -> int:
+    expected_parent: int | None = None,
+) -> int | None:
     """File-granular copy-on-write MERGE, committed optimistically.
 
     Reads ONLY the files whose stats ranges intersect the batch's
@@ -539,8 +546,17 @@ def merge_snapshot_commit(
     loser deletes its orphaned files and recomputes against the
     winner's state (bounded retries). Work per commit = |touched
     files| + |batch|, metadata per commit = one manifest — both scale
-    with the commit, not the table."""
+    with the commit, not the table. ``expected_parent`` makes the
+    merge CONDITIONAL (same contract as append_snapshot_commit): if
+    the table is not at that version the merge returns None without
+    committing — the guard that lets racing processes build a
+    DETERMINISTIC version chain (exactly one racer lands each step)."""
     for _ in range(max_attempts):
+        base_v = latest_version(loc)
+        if base_v is None:
+            raise FileNotFoundError(f"no snapshot table at {loc}")
+        if expected_parent is not None and base_v != expected_parent:
+            return None
         out, m, candidates = merge_snapshot_prewrite(
             spark, loc, batch, join_on, part_of, touched
         )
@@ -1234,7 +1250,8 @@ def compact_snapshot_commit(
     loc: str,
     files: int | None = None,
     max_attempts: int = 5,
-) -> int:
+    expected_parent: int | None = None,
+) -> int | None:
     """Table maintenance as a commit: rewrite the CURRENT content into
     ``files`` range-clustered files and publish it as a new version —
     the lakehouse OPTIMIZE. Content is bit-identical by construction
@@ -1245,11 +1262,15 @@ def compact_snapshot_commit(
     many incremental commits is the known failure mode of any
     copy-on-write table at scale; this is the standing answer, and
     vacuum afterwards reclaims the superseded files once no retained
-    version references them."""
+    version references them. ``expected_parent`` makes the OPTIMIZE
+    conditional on the table version (None without committing when it
+    moved) — the racing-process determinism guard, as on append/merge."""
     for _ in range(max_attempts):
         base_v = latest_version(loc)
         if base_v is None:
             raise FileNotFoundError(f"no snapshot table at {loc}")
+        if expected_parent is not None and base_v != expected_parent:
+            return None
         m, _ = snapshot_files(loc, base_v)
         part_col = m["part_col"]
         df = read_snapshot(spark, loc, version=base_v)
@@ -1301,20 +1322,183 @@ def compact_snapshot_commit(
     )
 
 
+# --- named refs: tags (immutable) and branches (CAS-movable heads) ----
+# A ref is a NAME → VERSION pointer published with the same link(2)
+# CAS as manifests. Tags are immutable (the "train tag": the corpus
+# exactly as the run that trained the model saw it, forever); a branch
+# is a movable head whose every advance is a numbered ref entry
+# published by link — updating requires naming the expected current
+# head, so concurrent movers serialize exactly like commit writers.
+# Vacuum treats ref'd versions as retained: tagging a version is what
+# makes it immune to history retirement.
+
+
+def _refs_dir(loc: str, kind: str) -> str:
+    return os.path.join(loc, "_refs", kind)
+
+
+def _write_ref_file(path: str, payload: dict) -> None:
+    """Publish ``payload`` at ``path`` atomically via link(2); raises
+    FileExistsError when the name is already claimed — the CAS."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
+
+
+def _check_ref_version(loc: str, version: int | None) -> int:
+    latest = latest_version(loc)
+    if latest is None:
+        raise FileNotFoundError(f"no snapshot table at {loc}")
+    if version is None:
+        return latest
+    if not os.path.exists(_manifest_path(loc, version)):
+        raise ValueError(f"no version v{version} at {loc} to reference")
+    return version
+
+
+def create_tag(loc: str, name: str, version: int | None = None) -> int:
+    """Create an IMMUTABLE named ref to a version (default: latest).
+    Concurrent-idempotent: re-creating the tag at the SAME version is
+    success (a racing peer already published the identical ref — the
+    guard the concurrent sweep protocol requires); at a different
+    version it raises, because a tag's meaning never moves."""
+    version = _check_ref_version(loc, version)
+    path = os.path.join(_refs_dir(loc, "tags"), f"{name}.json")
+    try:
+        _write_ref_file(path, {"version": version})
+    except FileExistsError:
+        with open(path) as f:
+            existing = json.load(f)["version"]
+        if existing != version:
+            raise ValueError(
+                f"tag {name!r} at {loc} already points to v{existing}, "
+                f"refusing to move it to v{version}"
+            ) from None
+    return version
+
+
+def create_branch(loc: str, name: str, version: int | None = None) -> int:
+    """Create a branch HEAD at a version (default: latest) — entry 0
+    of the branch's numbered ref chain. Concurrent-idempotent like
+    create_tag: same-version re-create succeeds, different raises."""
+    version = _check_ref_version(loc, version)
+    path = os.path.join(_refs_dir(loc, "heads"), name, "r00000000.json")
+    try:
+        _write_ref_file(path, {"version": version})
+    except FileExistsError:
+        with open(path) as f:
+            existing = json.load(f)["version"]
+        if existing != version:
+            raise ValueError(
+                f"branch {name!r} at {loc} was already created at "
+                f"v{existing}, not v{version}"
+            ) from None
+    return version
+
+
+def _branch_entries(loc: str, name: str) -> list[tuple[int, str]]:
+    d = os.path.join(_refs_dir(loc, "heads"), name)
+    if not os.path.isdir(d):
+        raise KeyError(f"no branch {name!r} at {loc}")
+    out = []
+    for n in os.listdir(d):
+        if n.startswith("r") and n.endswith(".json"):
+            try:
+                out.append((int(n[1:-5]), os.path.join(d, n)))
+            except ValueError:
+                continue
+    if not out:
+        raise KeyError(f"no branch {name!r} at {loc}")
+    return sorted(out)
+
+
+def branch_head(loc: str, name: str) -> int:
+    """The branch's current version (its highest-numbered ref entry)."""
+    _k, path = _branch_entries(loc, name)[-1]
+    with open(path) as f:
+        return json.load(f)["version"]
+
+
+def update_branch(
+    loc: str, name: str, new_version: int, expected_version: int
+) -> bool:
+    """Advance the branch head, CAS-conditional on the CURRENT head:
+    returns False (nothing published) when the head is not
+    ``expected_version`` or a racing mover claims the next entry
+    first — the loser re-reads and retries, exactly the
+    optimistic-commit loop writers run on manifests."""
+    entries = _branch_entries(loc, name)
+    k, path = entries[-1]
+    with open(path) as f:
+        cur = json.load(f)["version"]
+    if cur != expected_version:
+        return False
+    new_version = _check_ref_version(loc, new_version)
+    nxt = os.path.join(
+        _refs_dir(loc, "heads"), name, f"r{k + 1:08d}.json"
+    )
+    try:
+        _write_ref_file(nxt, {"version": new_version})
+    except FileExistsError:
+        return False
+    return True
+
+
+def resolve_ref(loc: str, name: str) -> int:
+    """NAME → VERSION: tags first, then branch heads."""
+    tag = os.path.join(_refs_dir(loc, "tags"), f"{name}.json")
+    if os.path.exists(tag):
+        with open(tag) as f:
+            return json.load(f)["version"]
+    return branch_head(loc, name)
+
+
+def _ref_versions(loc: str) -> set[int]:
+    """Every version a tag or branch HEAD currently references —
+    vacuum's protected set (historical branch entries are history:
+    only the head pins retention, as in Iceberg)."""
+    out: set[int] = set()
+    tags = _refs_dir(loc, "tags")
+    if os.path.isdir(tags):
+        for n in os.listdir(tags):
+            if n.endswith(".json"):
+                with open(os.path.join(tags, n)) as f:
+                    out.add(json.load(f)["version"])
+    heads = _refs_dir(loc, "heads")
+    if os.path.isdir(heads):
+        for name in os.listdir(heads):
+            try:
+                out.add(branch_head(loc, name))
+            except KeyError:
+                continue
+    return out
+
+
 def vacuum_snapshot(loc: str, keep_latest: int = 1) -> tuple[int, int]:
-    """Retire history: keep the newest ``keep_latest`` manifests,
-    delete older manifests and every data file no retained manifest
-    references. Returns (manifests deleted, data files deleted).
-    This is the ONLY operation that deletes data files — running it
-    breaks time travel to the retired versions (by definition) and,
-    as in real lakehouses, must respect a retention window longer
-    than any concurrent reader."""
+    """Retire history: keep the newest ``keep_latest`` manifests PLUS
+    every version a tag or branch head references (a named ref is the
+    retention pin — "the train tag" stays readable forever until the
+    ref itself is deleted), delete older manifests and every data file
+    no retained manifest references. Returns (manifests deleted, data
+    files deleted). This is the ONLY operation that deletes data
+    files — running it breaks time travel to the retired versions (by
+    definition) and, as in real lakehouses, must respect a retention
+    window longer than any concurrent reader."""
     latest = latest_version(loc)
     if latest is None:
         return (0, 0)
+    protected = set(range(max(0, latest - keep_latest + 1), latest + 1))
+    protected |= _ref_versions(loc)
     keep_versions = [
         v
-        for v in range(max(0, latest - keep_latest + 1), latest + 1)
+        for v in sorted(protected)
         if os.path.exists(_manifest_path(loc, v))
     ]
     live: set[str] = set()
@@ -1323,7 +1507,9 @@ def vacuum_snapshot(loc: str, keep_latest: int = 1) -> tuple[int, int]:
         live |= {e["path"] for e in m["files"]}
         live |= {e["path"] for e in _delete_entries(m)}
     dropped_m = 0
-    for v in range(0, keep_versions[0]):
+    for v in range(0, latest + 1):
+        if v in protected:
+            continue
         p = _manifest_path(loc, v)
         if os.path.exists(p):
             os.unlink(p)

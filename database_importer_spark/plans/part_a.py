@@ -881,6 +881,81 @@ def table_schema_evolution(spark, sf_dir):
     return read_snapshot(spark, loc).select(*_SNAP_OUT_COLS, "o_note")
 
 
+def _ref_table(spark, sf_dir):
+    """The branch/tag fixture (VERDICT r8 item 4), own table 'ref':
+    tag 'train' pinned at v0, at least one merge commit past it, and
+    branch 'main' CAS-advanced to a merged version. Every step is
+    concurrent-idempotent (tag/branch creation converges on the same
+    version; the head-advance loop re-reads on a lost CAS, and peers
+    only ever advance the head to idempotent merged states)."""
+    from database_importer_spark.operators.snapshot_table import (
+        branch_head,
+        create_branch,
+        create_tag,
+        merge_snapshot_commit,
+        update_branch,
+    )
+
+    loc = _snap_create_named(spark, sf_dir, "ref")
+    create_tag(loc, "train", version=0)
+    batch, touched = _snap_batch_touched(spark, sf_dir, loc)
+    v = merge_snapshot_commit(
+        spark, loc, batch, ["o_orderkey"], _pm_month_of, touched
+    )
+    create_branch(loc, "main", version=0)
+    for _ in range(100):
+        cur = branch_head(loc, "main")
+        if cur >= 1:
+            break  # ours or a peer's merged version: both converge
+        update_branch(loc, "main", v, expected_version=cur)
+    else:
+        raise RuntimeError(f"branch head advance lost the CAS race at {loc}")
+    return loc
+
+
+@declare(
+    "table_branch_write_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def table_branch_write_read(spark, sf_dir):
+    """Named refs — the TAG half (VERDICT r8 item 4): tag 'train' is
+    pinned at v0, the table is committed PAST it (a fresh merge every
+    invocation), and the read resolves the tag — byte-exact v0, hash-
+    matched against the untouched source. This is the reproducible-
+    training-run primitive ("the corpus exactly as the tagged run saw
+    it") with a NAME instead of a version number, and the tag is what
+    pins v0 against vacuum (operators/snapshot_table.vacuum_snapshot
+    retains ref'd versions). Tags are immutable: re-creating at the
+    same version converges (racing peers), at any other version
+    raises."""
+    from database_importer_spark.operators.snapshot_table import read_snapshot
+
+    loc = _ref_table(spark, sf_dir)
+    return read_snapshot(spark, loc, ref="train").select(*_SNAP_OUT_COLS)
+
+
+@declare("table_branch_head_read", oracle=_PART_MERGE_ORACLE)
+def table_branch_head_read(spark, sf_dir):
+    """Named refs — the BRANCH half: branch 'main' is advanced to the
+    merged version by a compare-and-swap on its current head (a
+    numbered ref entry published by link(2) — losers re-read and
+    retry, exactly the optimistic loop commit writers run), and the
+    read resolves the head. Every advance target is an idempotent
+    merge commit, so the head's content hash-matches the merged-state
+    oracle no matter how many writers raced. At 100 TB this is the
+    serving pointer: consumers read 'main', writers publish versions
+    and move it atomically — no consumer ever sees a half-published
+    state."""
+    from database_importer_spark.operators.snapshot_table import read_snapshot
+
+    loc = _ref_table(spark, sf_dir)
+    return read_snapshot(spark, loc, ref="main").select(*_SNAP_OUT_COLS)
+
+
 def _snap_create_named(spark, sf_dir, name):
     """Create-once v0 = orders + o_month on a per-key snapshot table
     (the DELETE keys mutate destructively, so they each own a table
@@ -983,9 +1058,12 @@ def table_delete_mor(spark, sf_dir):
     return read_snapshot(spark, loc).select(*_SNAP_OUT_COLS)
 
 
-@declare(
-    "table_changes_merge",
-    oracle=f"""
+def _merge_changes_sql(version: int) -> str:
+    """DuckDB SQL for the row-level changes the month-batch MERGE
+    makes against a full-orders table state, tagged with the given
+    commit version — shared by the single-commit CDF key and the
+    multi-step feed key (whose merge lands at a different version)."""
+    return f"""
     WITH u AS (
         SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
                'U' AS o_orderstatus, o_orderdate
@@ -1005,21 +1083,23 @@ def table_delete_mor(spark, sf_dir):
     )
     SELECT 'update_preimage' AS _change_type, a.o_orderkey, a.o_custkey,
            a.o_orderstatus, a.o_totalprice, a.o_orderdate, a.o_orderpriority,
-           CAST(1 AS INTEGER) AS _commit_version
+           CAST({version} AS INTEGER) AS _commit_version
     FROM orders a JOIN u ON a.o_orderkey = u.o_orderkey
     UNION ALL
     SELECT 'update_postimage', a.o_orderkey, a.o_custkey,
            u.o_orderstatus, u.o_totalprice, u.o_orderdate, a.o_orderpriority,
-           CAST(1 AS INTEGER)
+           CAST({version} AS INTEGER)
     FROM orders a JOIN u ON a.o_orderkey = u.o_orderkey
     UNION ALL
     SELECT 'insert', s.o_orderkey, CAST(NULL AS BIGINT),
            s.o_orderstatus, s.o_totalprice, s.o_orderdate,
-           CAST(NULL AS VARCHAR), CAST(1 AS INTEGER)
+           CAST(NULL AS VARCHAR), CAST({version} AS INTEGER)
     FROM s WHERE NOT EXISTS
         (SELECT 1 FROM orders a WHERE a.o_orderkey = s.o_orderkey)
-    """,
-)
+    """
+
+
+@declare("table_changes_merge", oracle=_merge_changes_sql(1))
 def table_changes_merge(spark, sf_dir):
     """Row-level CHANGE DATA FEED out of a lakehouse MERGE commit
     (operators/snapshot_table.read_changes) — the consumer primitive
@@ -1112,6 +1192,125 @@ def table_incremental_read(spark, sf_dir):
     return read_incremental(spark, loc, 0, latest_version(loc)).select(
         *_SNAP_OUT_COLS
     )
+
+
+def _feed_table(spark, sf_dir):
+    """A snapshot table with a DETERMINISTIC multi-step history —
+    the fixture for the change-feed keys:
+
+      v0  create   orders before {_INC_CUTOFF} (+ o_month)
+      v1  append   the 1998 slice (INSERT-only commit)
+      v2  merge    the month-199703 update∪insert batch
+      v3  compact  OPTIMIZE into 8 files (content-preserving)
+
+    Every step is CAS-guarded on its expected parent version
+    (expected_parent), so N racing processes build exactly this chain:
+    one racer lands each step, the rest observe it done — the same
+    concurrent-idempotence contract the r8 sweep protocol requires.
+    Returns (loc, head_version)."""
+    from database_importer_spark.operators.snapshot_table import (
+        append_snapshot_commit,
+        compact_snapshot_commit,
+        create_snapshot_table,
+        latest_version,
+        merge_snapshot_commit,
+    )
+
+    loc = _snap_loc(spark, sf_dir, "feed")
+    cutoff = F.lit(_INC_CUTOFF).cast("timestamp")
+
+    def src():
+        o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+        return o.withColumn(_PM_PART_COL, _pm_month_of(o))
+
+    create_snapshot_table(spark, loc, src, _PM_PART_COL, "o_orderkey", files=16)
+    if latest_version(loc) == 0:
+        delta = t(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") >= cutoff
+        )
+        append_snapshot_commit(
+            spark,
+            loc,
+            delta.withColumn(_PM_PART_COL, _pm_month_of(delta)),
+            expected_parent=0,
+        )
+    if latest_version(loc) == 1:
+        batch, touched = _snap_batch_touched(spark, sf_dir, loc)
+        merge_snapshot_commit(
+            spark,
+            loc,
+            batch,
+            ["o_orderkey"],
+            _pm_month_of,
+            touched,
+            expected_parent=1,
+        )
+    if latest_version(loc) == 2:
+        compact_snapshot_commit(spark, loc, files=8, expected_parent=2)
+    return loc, 3
+
+
+@declare(
+    "table_changes_append",
+    oracle=f"""
+    SELECT 'insert' AS _change_type, o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority,
+           CAST(1 AS INTEGER) AS _commit_version
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_INC_CUTOFF}'
+    """,
+)
+def table_changes_append(spark, sf_dir):
+    """The CDF DEGENERATE FAST PATH the production feed actually runs
+    on (VERDICT r8 item 3): a pure-append step emits its added rows as
+    inserts with NO diff at all — read_changes sees removed == [] and
+    plans a plain scan of the commit's added files, so the append-
+    dominated common case costs exactly the incremental scan, never
+    the digest shuffle the update-step diff needs. Reads v0→v1 of the
+    feed table (the 1998 append); history untouched by the later merge
+    and compaction commits — the feed over an immutable version range
+    is deterministic forever."""
+    from database_importer_spark.operators.snapshot_table import read_changes
+
+    loc, _head = _feed_table(spark, sf_dir)
+    ch = read_changes(spark, loc, 0, 1, ["o_orderkey"])
+    return ch.select("_change_type", *_SNAP_OUT_COLS, "_commit_version")
+
+
+@declare(
+    "table_changes_feed",
+    oracle=f"""
+    SELECT 'insert' AS _change_type, o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority,
+           CAST(1 AS INTEGER) AS _commit_version
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_INC_CUTOFF}'
+    UNION ALL
+    SELECT * FROM ({_merge_changes_sql(2)}) mc
+    """,
+)
+def table_changes_feed(spark, sf_dir):
+    """Multi-step CHANGE DATA FEED (VERDICT r8 item 3): one
+    read_changes call over the version RANGE v0→v3 of the feed table —
+    append, merge, and OPTIMIZE in a single consumer read, each step
+    priced at its own shape:
+
+      * v1 (pure append)  → added-files scan, inserts, no diff;
+      * v2 (merge)        → bounded removed/added digest diff,
+                            classified update pre/post + inserts;
+      * v3 (compaction)   → SKIPPED by op-tag contract — content-
+                            preserving, zero cost (ADVICE r8).
+
+    This is the catch-up read a downstream job issues after missing
+    several commits: cost = Σ |touched slice per commit|, maintenance
+    commits free, never |table| × steps. Hash-matched against the
+    union of the append slice (version 1) and the merge's change set
+    (version 2)."""
+    from database_importer_spark.operators.snapshot_table import read_changes
+
+    loc, head = _feed_table(spark, sf_dir)
+    ch = read_changes(spark, loc, 0, head, ["o_orderkey"])
+    return ch.select("_change_type", *_SNAP_OUT_COLS, "_commit_version")
 
 
 @declare(

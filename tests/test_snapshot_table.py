@@ -725,3 +725,87 @@ def test_declared_point_lookup_is_file_pruned(spark):
     assert sorted(set(os.path.basename(f) for f in df.inputFiles())) == sorted(
         set(os.path.basename(e["path"]) for e in kept)
     )
+
+
+def test_tags_branches_and_vacuum_retention(spark, tmp_path):
+    """Named refs: tags are immutable (same-version re-create
+    converges, moving raises), branch heads advance only by CAS on the
+    expected current head, and vacuum retains every ref'd version."""
+    loc = _mk_table(spark, tmp_path)
+    assert st.create_tag(loc, "train") == 0
+    assert st.create_tag(loc, "train", version=0) == 0  # idempotent
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "A")]), ["k"], _part_of, touched=[0]
+    )
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "B")]), ["k"], _part_of, touched=[0]
+    )
+    with pytest.raises(ValueError, match="refusing to move"):
+        st.create_tag(loc, "train", version=2)
+    # branch: create at v1, CAS-advance to v2
+    assert st.create_branch(loc, "dev", version=1) == 1
+    assert st.branch_head(loc, "dev") == 1
+    assert not st.update_branch(loc, "dev", 2, expected_version=0)  # stale
+    assert st.update_branch(loc, "dev", 2, expected_version=1)
+    assert st.branch_head(loc, "dev") == 2
+    assert not st.update_branch(loc, "dev", 1, expected_version=1)  # stale again
+    # reads resolve refs
+    assert _state(spark, loc, None) == {
+        **_state(spark, loc, 2),
+    }
+    tag_read = st.read_snapshot(spark, loc, ref="train")
+    assert {r["k"]: r["val"] for r in tag_read.collect()}[5] == "v5"
+    with pytest.raises(ValueError, match="version OR ref"):
+        st.read_snapshot(spark, loc, version=1, ref="train")
+    with pytest.raises(KeyError):
+        st.resolve_ref(loc, "nope")
+    # refs to unknown versions are refused
+    with pytest.raises(ValueError, match="no version"):
+        st.create_tag(loc, "bad", version=99)
+    # vacuum keeps the tagged v0 and the branch head v2; v1 retires
+    dropped_m, _f = st.vacuum_snapshot(loc, keep_latest=1)
+    assert dropped_m == 1  # only v1
+    assert _state(spark, loc, 0)[5] == ("v5", 0)  # tag-pinned, byte-exact
+    assert _state(spark, loc, 2)[5] == ("B", 0)
+    with pytest.raises(FileNotFoundError):
+        st.load_manifest(loc, 1)
+
+
+def test_expected_parent_guards_build_deterministic_chain(spark, tmp_path):
+    """merge/compact expected_parent: the conditional commit returns
+    None without committing when the table moved — N racers build one
+    deterministic chain."""
+    loc = _mk_table(spark, tmp_path)
+    v = st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "A")]), ["k"], _part_of, touched=[0],
+        expected_parent=0,
+    )
+    assert v == 1
+    # a second racer with the same guard observes the step done
+    assert (
+        st.merge_snapshot_commit(
+            spark, loc, _batch(spark, [(5, "A")]), ["k"], _part_of,
+            touched=[0], expected_parent=0,
+        )
+        is None
+    )
+    assert st.compact_snapshot_commit(spark, loc, files=2, expected_parent=1) == 2
+    assert st.compact_snapshot_commit(spark, loc, files=2, expected_parent=1) is None
+    assert st.latest_version(loc) == 2
+    assert _state(spark, loc)[5] == ("A", 0)
+
+
+def test_declared_feed_chain_is_deterministic(spark):
+    """The feed fixture builds exactly v0..v3 (create/append/merge/
+    compact) and re-invocation never extends the chain."""
+    from database_importer_spark.plans.part_a import _feed_table
+
+    loc, head = _feed_table(spark, SF)
+    assert head == 3 and st.latest_version(loc) == 3
+    loc2, _ = _feed_table(spark, SF)
+    assert loc2 == loc and st.latest_version(loc) == 3
+    ops = [
+        st.load_manifest(loc, v).get("commit", {}).get("op")
+        for v in (1, 2, 3)
+    ]
+    assert ops == ["append", "merge", "compact"]

@@ -9,6 +9,11 @@
 # appears at a worker's clean exit — and tools/merge_sf10_sweep.py
 # (or the inline merge below) folds logs + part JSONs into one file.
 #
+# CHECKLIST (VERDICT r8 item 6): FREEZE THE REGISTRY before launching
+# this sweep — keys declared after the key-lister below runs are
+# silently absent from the artifact (the r8 sweep-launch/declare race)
+# and must be folded in post hoc from a same-corpus check_oracles run.
+#
 # Usage: sh tools/run_sf10_sweep.sh [SF_DIR] [OUT_JSON]
 set -e
 SF_DIR=${1:-/root/repo/.bench/sf10}
