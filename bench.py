@@ -66,6 +66,8 @@ HEADLINE = [
     "table_changes_append",
     "table_changes_feed",
     "upsert_merge_commit_only",
+    "table_branch_write_read",
+    "table_branch_head_read",
     "fn_math_core",
     "llm_dedup_exact",
     "llm_similarity_topk",

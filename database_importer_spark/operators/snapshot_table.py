@@ -1460,6 +1460,23 @@ def resolve_ref(loc: str, name: str) -> int:
     return branch_head(loc, name)
 
 
+def delete_ref(loc: str, name: str) -> bool:
+    """Remove a named ref — a tag, or a branch with its whole entry
+    chain. Returns True if it existed. Deleting a ref releases its
+    retention pin: the next vacuum may retire the version it
+    referenced (the tag lifecycle's other half — 'train' tags are
+    forever only until the run is decommissioned)."""
+    tag = os.path.join(_refs_dir(loc, "tags"), f"{name}.json")
+    if os.path.exists(tag):
+        os.unlink(tag)
+        return True
+    d = os.path.join(_refs_dir(loc, "heads"), name)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+        return True
+    return False
+
+
 def _ref_versions(loc: str) -> set[int]:
     """Every version a tag or branch HEAD currently references —
     vacuum's protected set (historical branch entries are history:

@@ -535,6 +535,14 @@ def _pm_batch_df(spark, sf_dir):
         scalar = o.agg((F.max("o_orderkey") + F.lit(1)).alias("__key_base"))
         base = base.crossJoin(F.broadcast(scalar))
         key_base = F.col("__key_base")
+    return _pm_batch_core(base, key_base)
+
+
+def _pm_batch_core(base, key_base):
+    """The update∪insert struct-explode over a month-filtered %10 base
+    scan (the r4 CDC single-scan pattern) — shared by the
+    source-derived batch (_pm_batch_df) and the staging-derived batch
+    (_pm_batch_from_v0)."""
     upd_struct = F.struct(
         F.col("o_orderkey").alias("o_orderkey"),
         (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
@@ -553,6 +561,44 @@ def _pm_batch_df(spark, sf_dir):
     return base.select(
         F.explode(F.array_compact(F.array(upd_struct, ins_struct))).alias("r")
     ).select("r.*")
+
+
+# the batch's months, statically known: updates are filtered to the
+# batch month and inserts are dated _PM_INS_DATE inside it
+_PM_TOUCHED = [199703]
+
+
+def _pm_batch_from_v0(spark, sf_dir, loc):
+    """The SAME month batch derived from the snapshot table's own
+    immutable v0 (byte-identical to the source: v0 IS the unmutated
+    load) with the read manifest-pruned to the batch month — the
+    staging-table shape of a production CDC feed: batch derivation
+    costs |month| (one pruned file), not a full source rescan per
+    merge. The insert key base still comes from the source's parquet
+    footer stats (identical values; zero jobs), with the in-plan
+    scalar fallback reading v0."""
+    import os as _os
+
+    from database_importer_spark.operators.pruning import footer_exact_max
+    from database_importer_spark.operators.snapshot_table import (
+        read_snapshot,
+    )
+
+    o = read_snapshot(spark, loc, version=0, part_values=_PM_TOUCHED)
+    in_month = (
+        F.col("o_orderdate") >= F.lit(_PM_MONTH_LO).cast("timestamp")
+    ) & (F.col("o_orderdate") < F.lit(_PM_MONTH_HI).cast("timestamp"))
+    base = o.filter(in_month & (F.col("o_orderkey") % 10 == 0))
+    mx = footer_exact_max(_os.path.join(sf_dir, "orders.parquet"), "o_orderkey")
+    if mx is not None:
+        key_base = F.lit(int(mx) + 1).cast("bigint")
+    else:
+        scalar = read_snapshot(spark, loc, version=0).agg(
+            (F.max("o_orderkey") + F.lit(1)).alias("__key_base")
+        )
+        base = base.crossJoin(F.broadcast(scalar))
+        key_base = F.col("__key_base")
+    return _pm_batch_core(base, key_base)
 
 
 def _pm_parts(spark, sf_dir):
@@ -898,16 +944,31 @@ def _ref_table(spark, sf_dir):
 
     loc = _snap_create_named(spark, sf_dir, "ref")
     create_tag(loc, "train", version=0)
-    batch, touched = _snap_batch_touched(spark, sf_dir, loc)
-    v = merge_snapshot_commit(
-        spark, loc, batch, ["o_orderkey"], _pm_month_of, touched
+    # ONE commit past the tag is the contract (the refs are what the
+    # keys measure, not merge throughput — the merge keys own that);
+    # the expected_parent CAS means exactly one racer lands v1 and
+    # every later invocation observes the chain done.
+    from database_importer_spark.operators.snapshot_table import (
+        latest_version,
     )
+
+    if latest_version(loc) == 0:
+        batch, touched = _snap_batch_touched(spark, sf_dir, loc)
+        merge_snapshot_commit(
+            spark,
+            loc,
+            batch,
+            ["o_orderkey"],
+            _pm_month_of,
+            touched,
+            expected_parent=0,
+        )
     create_branch(loc, "main", version=0)
     for _ in range(100):
         cur = branch_head(loc, "main")
         if cur >= 1:
             break  # ours or a peer's merged version: both converge
-        update_branch(loc, "main", v, expected_version=cur)
+        update_branch(loc, "main", 1, expected_version=cur)
     else:
         raise RuntimeError(f"branch head advance lost the CAS race at {loc}")
     return loc
@@ -956,13 +1017,17 @@ def table_branch_head_read(spark, sf_dir):
     return read_snapshot(spark, loc, ref="main").select(*_SNAP_OUT_COLS)
 
 
-def _snap_create_named(spark, sf_dir, name):
+def _snap_create_named(spark, sf_dir, name, files=16):
     """Create-once v0 = orders + o_month on a per-key snapshot table
     (the DELETE keys mutate destructively, so they each own a table
     instead of sharing the merge family's). Same fan-out contract as
     _snap_create: files=16 range-clustered on (month, orderkey) —
     every file covers a contiguous ~5-month slice, which is what
-    makes the delete classification sharp."""
+    makes the delete classification sharp. Keys whose per-commit cost
+    is bounded by the files INTERSECTING one month pass files≈84
+    (month-pure-ish slices): a copy-on-write rewrite then touches
+    ~1 month of rows instead of a 5-month file — the granularity a
+    real table would choose when its merge batches are month-scoped."""
     from database_importer_spark.operators.snapshot_table import (
         create_snapshot_table,
     )
@@ -973,7 +1038,9 @@ def _snap_create_named(spark, sf_dir, name):
         o = t(spark, sf_dir, "orders")
         return o.withColumn(_PM_PART_COL, _pm_month_of(o))
 
-    create_snapshot_table(spark, loc, src, _PM_PART_COL, "o_orderkey", files=16)
+    create_snapshot_table(
+        spark, loc, src, _PM_PART_COL, "o_orderkey", files=files
+    )
     return loc
 
 
@@ -1223,7 +1290,9 @@ def _feed_table(spark, sf_dir):
         o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
         return o.withColumn(_PM_PART_COL, _pm_month_of(o))
 
-    create_snapshot_table(spark, loc, src, _PM_PART_COL, "o_orderkey", files=16)
+    # files=72 ≈ one pre-1998 month per v0 slice: the merge step's
+    # removed/added diff is then bounded by ~one month of rows.
+    create_snapshot_table(spark, loc, src, _PM_PART_COL, "o_orderkey", files=72)
     if latest_version(loc) == 0:
         delta = t(spark, sf_dir, "orders").filter(
             F.col("o_orderdate") >= cutoff
@@ -1349,8 +1418,16 @@ def upsert_merge_commit_only(spark, sf_dir):
     )
     from pyspark.sql import types as T
 
-    loc = _snap_create_named(spark, sf_dir, "cm")
-    batch, touched = _snap_batch_touched(spark, sf_dir, loc)
+    # files≈84 → month-pure-ish v0 slices: the commit rewrites ~one
+    # month of rows, not a 5-month file (the 100 TB granularity choice
+    # for month-scoped batches; the full-state twins keep files=16 so
+    # both shapes stay measured). The batch derives from the table's
+    # own immutable v0, manifest-pruned to the month (the staging
+    # shape: |month| derivation cost, no per-merge source rescan), and
+    # its touched set is the statically-known batch month.
+    loc = _snap_create_named(spark, sf_dir, "cm", files=84)
+    batch = _pm_batch_from_v0(spark, sf_dir, loc)
+    touched = list(_PM_TOUCHED)
     v = merge_snapshot_commit(
         spark, loc, batch, ["o_orderkey"], _pm_month_of, touched
     )
@@ -1402,6 +1479,7 @@ def table_point_lookup_pruned(spark, sf_dir):
         create_snapshot_table,
         read_snapshot_keyrange,
     )
+    from database_importer_spark.session import static_plan_session
 
     loc = _snap_loc(spark, sf_dir, "ptl")
 
@@ -1409,16 +1487,26 @@ def table_point_lookup_pruned(spark, sf_dir):
         o = t(spark, sf_dir, "orders")
         return o.withColumn(_PM_PART_COL, _pm_month_of(o))
 
+    # files=64: pruning granularity. At sf10 a 16-file layout writes
+    # ~55 MB single-row-group files — the BETWEEN residual then decodes
+    # the whole surviving file because there is no row group to prune
+    # INSIDE it; 64 files ≈ 4x less data behind the one file the
+    # manifest keeps (at real scale: size files to the row-group
+    # budget you want lookups to pay).
     create_snapshot_table(
         spark,
         loc,
         src,
         _PM_PART_COL,
-        files=16,
+        files=64,
         sort_cols=["o_orderkey"],
         stats_cols=["o_orderkey"],
     )
-    df = read_snapshot_keyrange(spark, loc, "o_orderkey", _PTL_LO, _PTL_HI)
+    # fixed-shape map-only read: the AQE wrapper is pure scheduling
+    # cost here (the r5 static-session lever)
+    df = read_snapshot_keyrange(
+        static_plan_session(spark), loc, "o_orderkey", _PTL_LO, _PTL_HI
+    )
     return df.select(*_SNAP_OUT_COLS)
 
 

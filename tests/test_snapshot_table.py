@@ -771,6 +771,24 @@ def test_tags_branches_and_vacuum_retention(spark, tmp_path):
         st.load_manifest(loc, 1)
 
 
+def test_delete_ref_releases_vacuum_pin(spark, tmp_path):
+    """Deleting a tag releases its retention pin: the next vacuum may
+    retire the version it referenced."""
+    loc = _mk_table(spark, tmp_path)
+    st.create_tag(loc, "train", version=0)
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "A")]), ["k"], _part_of, touched=[0]
+    )
+    st.vacuum_snapshot(loc, keep_latest=1)
+    assert _state(spark, loc, 0)[5] == ("v5", 0)  # tag pins v0
+    assert st.delete_ref(loc, "train")
+    assert not st.delete_ref(loc, "train")  # already gone
+    st.vacuum_snapshot(loc, keep_latest=1)
+    with pytest.raises(FileNotFoundError):
+        st.load_manifest(loc, 0)
+    assert _state(spark, loc)[5] == ("A", 0)  # latest intact
+
+
 def test_expected_parent_guards_build_deterministic_chain(spark, tmp_path):
     """merge/compact expected_parent: the conditional commit returns
     None without committing when the table moved — N racers build one
