@@ -784,3 +784,20 @@ def test_changes_merge_diff_shuffles_digests_not_rows(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_changes_append_is_map_only(spark):
+    """The pure-append CDF step plans as a plain scan of the commit's
+    added files: zero Exchange anywhere — the degenerate fast path
+    costs exactly the incremental scan (VERDICT r8 item 3)."""
+    p = physical(spark, "table_changes_append")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_point_lookup_scan_has_pushed_between(spark):
+    """The key-range residual reaches the parquet scan (row-group
+    pruning inside the surviving manifest-pruned files)."""
+    p = physical(spark, "table_point_lookup_pruned")
+    assert "Exchange" not in p
+    assert "PushedFilters" in p and "GreaterThanOrEqual(o_orderkey" in p
