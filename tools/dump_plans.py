@@ -61,6 +61,8 @@ ANNOTATED = {
     "table_delete_mor": "Merge-on-read equality delete (r8): the final-state read applies the delete file as a BROADCAST left-anti join on the key — the 15M-row data side never shuffles; files newer than every delete (seq) scan with no anti-join at all.",
     "table_incremental_read": "Incremental append scan (r8): the scan's file list is the MANIFEST DIFF of the version range — only the files the append commits added; untouched history is never listed, so catch-up cost is ∝ delta, not table.",
     "table_changes_merge": "Change data feed of a MERGE commit (r8): removed+added files (manifest diff, bounded by the touched slice) union with a ±1 side marker; the diff shuffle carries ONLY (xxhash64 digest, key, side) — net≠0 survivors are |changes|-sized, fetched by an AQE-broadcast join and window-classified per key.",
+    "table_point_lookup_pruned": "Secondary-key file pruning (r9): the scan's file list is pruned DRIVER-SIDE by the manifest's per-column key stats (Iceberg per-column stats on a key-clustered sort order) — 1-2 of 64 files reach the engine; the BETWEEN residual is pushed to the scan and row-group-prunes inside them. Zero Exchange.",
+    "table_changes_append": "CDF degenerate fast path (r9): a pure-append step plans as a PLAIN SCAN of the commit's added files plus literal insert/version columns — no diff, no join, no Exchange; the append-dominated production feed costs exactly the incremental scan.",
 }
 
 
