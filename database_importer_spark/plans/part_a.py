@@ -1496,7 +1496,11 @@ def table_point_lookup_pruned(spark, sf_dir):
     # the whole surviving file because there is no row group to prune
     # INSIDE it; 64 files ≈ 4x less data behind the one file the
     # manifest keeps (at real scale: size files to the row-group
-    # budget you want lookups to pay).
+    # budget you want lookups to pay — here each small file IS one
+    # row group, so file granularity is row-group granularity).
+    # files=128 measured a WASH vs 64 in alternated cross-process A/B
+    # at sf10 (0.087-0.122 both: the residual is the noop-sink +
+    # scheduling constant, not scan bytes) — don't re-chase.
     create_snapshot_table(
         spark,
         loc,
