@@ -827,3 +827,12 @@ def test_declared_feed_chain_is_deterministic(spark):
         for v in (1, 2, 3)
     ]
     assert ops == ["append", "merge", "compact"]
+
+
+def test_declared_point_lookup_frame_is_cached(spark):
+    """The built frame is session-cached per (table, version, range):
+    re-invocation returns the SAME DataFrame object — zero py4j plan
+    construction on the warm path (the r6 constant-removal class;
+    sound because a snapshot's plan is immutable)."""
+    fn = REGISTRY["table_point_lookup_pruned"].fn
+    assert fn(spark, SF) is fn(spark, SF)
