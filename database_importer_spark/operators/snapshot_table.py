@@ -320,10 +320,114 @@ def _table_write_opts(m: dict) -> dict:
 def _carry_write_contract(manifest: dict, parent: dict) -> dict:
     """Copy the table-level write-contract fields from the parent
     manifest into a child manifest (no-op for pre-r9 tables)."""
-    for k in ("sort_cols", "stats_cols"):
+    for k in ("sort_cols", "stats_cols", "cdf"):
         if k in parent:
             manifest[k] = parent[k]
     return manifest
+
+
+def _merge_cdf_frame(
+    base: DataFrame,
+    batch: DataFrame,
+    join_on: list[str],
+    part_col: str,
+    part_of,
+    schema: T.StructType,
+) -> DataFrame:
+    """The row-level CHANGE DATA of a MERGE, computed at WRITE time
+    from the same (pruned base slice, broadcast batch) pair the merge
+    itself joins — the Delta `_change_data` design: the commit already
+    holds exactly these rows in memory, so persisting them costs one
+    bounded broadcast-join pass over the touched slice instead of the
+    read-time digest diff's two scans + shuffle per consumer read.
+
+    Output schema: ``_change_type`` + every table column. Semantics
+    are pinned equal to the read-time diff (tests): a matched row
+    whose post-image is null-safe-EQUAL to its pre-image on every
+    updated column is NOT emitted (the diff cancels byte-identical
+    rewrites, so the materialized feed must too); matched+changed
+    rows emit update_preimage/update_postimage via one struct-array
+    explode (single scan, codegen — the r4 CDC shape); unmatched
+    batch rows emit as inserts through the same two-broadcast-join
+    anti shape as Merger (the table side never shuffles)."""
+    data_cols = [c for c in schema.names if c != part_col]
+    subset = [c for c in batch.columns if c not in join_on]
+    b = F.broadcast(batch.na.drop(subset=join_on))
+    joined = base.alias("a").join(b.alias("b"), on=join_on, how="inner")
+    # flat pre/post projection so part_of (which reads table column
+    # names) can derive the POST partition value from post columns
+    post_cols = []
+    for c in data_cols:
+        side = "b" if c in subset else "a"
+        post_cols.append(F.col(f"{side}.{c}").alias(c))
+    flat = joined.select(
+        *[F.col(f"a.{c}").alias(f"_pre_{c}") for c in data_cols],
+        F.col(f"a.{part_col}").alias(f"_pre_{part_col}"),
+        *post_cols,
+    )
+    flat = flat.withColumn("_post_part", part_of(flat))
+    changed = functools.reduce(
+        lambda acc, c: acc
+        | ~F.col(f"_pre_{c}").eqNullSafe(F.col(c)),
+        subset,
+        F.lit(False),
+    )
+    pre_s = F.struct(
+        F.lit("update_preimage").alias("_change_type"),
+        *[F.col(f"_pre_{c}").alias(c) for c in data_cols],
+        F.col(f"_pre_{part_col}").alias(part_col),
+    )
+    post_s = F.struct(
+        F.lit("update_postimage").alias("_change_type"),
+        *[F.col(c).alias(c) for c in data_cols],
+        F.col("_post_part").alias(part_col),
+    )
+    upd = (
+        flat.filter(changed)
+        .select(F.explode(F.array(pre_s, post_s)).alias("r"))
+        .select("r.*")
+    )
+    # insert arm: Merger's two-broadcast discipline — semi-probe the
+    # base keys against the broadcast batch (≤|batch| rows out, the
+    # base only streams), anti the batch against that small set.
+    matched_keys = base.select(*join_on).join(b, join_on, "left_semi")
+    unmatched = batch.na.drop(subset=join_on).join(
+        F.broadcast(matched_keys), on=join_on, how="left_anti"
+    )
+    ins_flat = unmatched.select(
+        *[
+            F.col(c).cast(schema[c].dataType).alias(c)
+            if c in unmatched.columns
+            else F.lit(None).cast(schema[c].dataType).alias(c)
+            for c in data_cols
+        ]
+    )
+    ins = ins_flat.withColumn(part_col, part_of(ins_flat)).select(
+        F.lit("insert").alias("_change_type"), *data_cols, part_col
+    )
+    return upd.unionByName(ins)
+
+
+_CHANGE_TYPE_COL = "_change_type"
+
+
+def _change_file_entries(change_dir: str, loc: str) -> list[dict]:
+    """Manifest entries for a commit's materialized change files —
+    path + rows only (change files are consumed whole by version, so
+    no pruning stats are recorded)."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    if not os.path.isdir(change_dir):
+        return entries
+    for name in sorted(os.listdir(change_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(change_dir, name)
+        n = pq.ParquetFile(path).metadata.num_rows
+        if n:
+            entries.append({"path": os.path.relpath(path, loc), "rows": n})
+    return entries
 
 
 def create_snapshot_table(
@@ -335,6 +439,7 @@ def create_snapshot_table(
     files: int | None = None,
     sort_cols: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    cdf: bool = False,
 ) -> int:
     """Create the table (version 0) if no manifest exists yet; returns
     the latest version either way. Cross-process safe: the layout lock
@@ -350,7 +455,15 @@ def create_snapshot_table(
     records in the manifest (Iceberg per-column stats — the metadata
     that lets a key-range read prune files the way part_col stats
     prune partition reads). Both persist in the manifest and every
-    later commit preserves them."""
+    later commit preserves them.
+
+    ``cdf=True`` enables the CHANGE DATA FEED write contract (Delta's
+    ``delta.enableChangeDataFeed`` table property): every MERGE commit
+    materializes its row-level delta as change files inside the commit
+    (the commit computes exactly those rows anyway), so ``read_changes``
+    on that step is a plain scan instead of a read-time digest diff —
+    the consumer-side cost moves to the one writer. Tables/commits
+    without it keep the diff fallback."""
     v = latest_version(loc)
     if v is not None:
         return v
@@ -384,6 +497,8 @@ def create_snapshot_table(
             manifest["sort_cols"] = list(sort_cols)
         if stats_cols:
             manifest["stats_cols"] = list(stats_cols)
+        if cdf:
+            manifest["cdf"] = True
         _publish_manifest(loc, manifest)
     return 0
 
@@ -550,7 +665,13 @@ def merge_snapshot_commit(
     merge CONDITIONAL (same contract as append_snapshot_commit): if
     the table is not at that version the merge returns None without
     committing — the guard that lets racing processes build a
-    DETERMINISTIC version chain (exactly one racer lands each step)."""
+    DETERMINISTIC version chain (exactly one racer lands each step).
+
+    On a ``cdf=True`` table the commit ALSO materializes its row-level
+    delta as change files (``_merge_cdf_frame`` — one more bounded
+    broadcast-join pass over the already-pruned slice) and records
+    them in the manifest's ``changes`` field; ``read_changes`` then
+    scans them instead of digest-diffing the step."""
     for _ in range(max_attempts):
         base_v = latest_version(loc)
         if base_v is None:
@@ -560,6 +681,14 @@ def merge_snapshot_commit(
         out, m, candidates = merge_snapshot_prewrite(
             spark, loc, batch, join_on, part_of, touched
         )
+        # TOCTOU close (ADVICE r9): prewrite re-resolves the latest
+        # manifest, so a peer committing between the check above and
+        # the prewrite would land this merge on a parent !=
+        # expected_parent. Re-check against the manifest the write
+        # will actually parent on; the version+1 link CAS then closes
+        # the race completely.
+        if expected_parent is not None and m["version"] != expected_parent:
+            return None
         part_col = m["part_col"]
         base_v = m["version"]
         version = base_v + 1
@@ -569,6 +698,21 @@ def merge_snapshot_commit(
             ),
             version,
         )
+        commit_info = {"op": "merge"}
+        manifest_changes = None
+        if m.get("cdf"):
+            schema = T.StructType.fromJson(m["schema"])
+            base = _read_with_deletes(
+                spark, loc, schema, candidates, _delete_entries(m)
+            )
+            ch = _merge_cdf_frame(
+                base, batch, join_on, part_col, part_of, schema
+            )
+            change_dir = os.path.join(
+                loc, "data", f"c{version:08d}_{os.getpid()}_changes"
+            )
+            ch.write.mode("overwrite").parquet(change_dir)
+            manifest_changes = _change_file_entries(change_dir, loc)
         keep = {e["path"] for e in candidates}
         manifest = {
             "format": _FORMAT,
@@ -583,18 +727,23 @@ def merge_snapshot_commit(
             # their replacements carry seq=version > every delete seq.
             "deletes": _delete_entries(m),
             "tags": _applied_tags(m),
-            "commit": {"op": "merge"},
+            "commit": commit_info,
         }
+        if manifest_changes is not None:
+            manifest["changes"] = manifest_changes
         try:
             _publish_manifest(loc, _carry_write_contract(manifest, m))
             return version
         except FileExistsError:
             # a peer claimed this version first: drop our orphaned
-            # commit dir and recompute against the winner's state.
-            shutil.rmtree(
-                os.path.join(loc, "data", f"c{version:08d}_{os.getpid()}"),
-                ignore_errors=True,
-            )
+            # commit dirs and recompute against the winner's state.
+            for sub in ("", "_changes"):
+                shutil.rmtree(
+                    os.path.join(
+                        loc, "data", f"c{version:08d}_{os.getpid()}{sub}"
+                    ),
+                    ignore_errors=True,
+                )
     raise RuntimeError(
         f"snapshot merge on {loc}: lost the optimistic-commit race "
         f"{max_attempts} times"
@@ -757,16 +906,33 @@ def append_snapshot_commit(
     )
 
 
+def _load_manifest_retained(loc: str, version: int) -> dict:
+    """load_manifest with the vacuum-retired case surfaced clearly
+    (ADVICE r9): history reads (change feeds, incremental scans,
+    commit diffs) walk version CHAINS, and a ref-pinned vacuum can
+    leave retained history non-contiguous — a middle manifest retired
+    by vacuum must read as 'version retired', not a raw
+    FileNotFoundError from an internal path."""
+    try:
+        return load_manifest(loc, version)
+    except FileNotFoundError:
+        raise ValueError(
+            f"version v{version} of {loc} was retired by vacuum — "
+            "change/incremental reads need every version of the range "
+            "retained (tag the range's versions to pin them)"
+        ) from None
+
+
 def commit_added_entries(loc: str, version: int) -> list[dict]:
     """File entries a commit ADDED relative to its parent — the
     commit's own data output, resolved by manifest diff
     (metadata-only; bounded by the commit's touched slice for
     copy-on-write commits). v0 has no parent: everything is added."""
-    m = load_manifest(loc, version)
+    m = _load_manifest_retained(loc, version)
     if m["parent"] is None:
         return list(m["files"])
     parent_paths = {
-        e["path"] for e in load_manifest(loc, m["parent"])["files"]
+        e["path"] for e in _load_manifest_retained(loc, m["parent"])["files"]
     }
     return [e for e in m["files"] if e["path"] not in parent_paths]
 
@@ -788,12 +954,12 @@ def incremental_entries(
     chain = []
     v = to_version
     while v > from_version:
-        m = load_manifest(loc, v)
+        m = _load_manifest_retained(loc, v)
         if m["parent"] != v - 1:
             raise ValueError(f"broken version chain at v{v} in {loc}")
         chain.append(m)
         v -= 1
-    base = load_manifest(loc, from_version)
+    base = _load_manifest_retained(loc, from_version)
     prev = base
     added: list[dict] = []
     for m in reversed(chain):
@@ -870,19 +1036,32 @@ def read_changes(
     commits. Pure-metadata steps contribute nothing.
     Old-side reads honor the deletes that applied to the removed
     files, so a row already invisible at ``from_version`` never
-    reports as deleted twice."""
+    reports as deleted twice.
+
+    Step pricing, cheapest shape first (each step pays only its own):
+
+    * MATERIALIZED (cdf table, merge commit) — the commit persisted
+      its row delta as change files; the step is a plain scan of
+      them, zero diff work (the Delta `_change_data` read path).
+    * REPLACE — drop+insert by op-tag contract: every old row emits
+      as delete, every new row as insert, no diff (Delta's CDF
+      semantics for overwrite commits).
+    * COMPACT — skipped (content-preserving by contract).
+    * pure append / pure drop — scan of the added (removed) files.
+    * otherwise — the read-time digest diff."""
     if not 0 <= from_version <= to_version:
         raise ValueError(f"bad changes range v{from_version}..v{to_version}")
-    m_to = load_manifest(loc, to_version)
+    m_to = _load_manifest_retained(loc, to_version)
     schema = T.StructType.fromJson(m_to["schema"])
     out_cols = [F.col(c) for c in schema.names]
     steps = []
-    prev = load_manifest(loc, from_version)
+    prev = _load_manifest_retained(loc, from_version)
     for v in range(from_version + 1, to_version + 1):
-        m = load_manifest(loc, v)
+        m = _load_manifest_retained(loc, v)
         if m["parent"] != v - 1:
             raise ValueError(f"broken version chain at v{v} in {loc}")
-        if m.get("commit", {}).get("op") == "compact":
+        op = m.get("commit", {}).get("op")
+        if op == "compact":
             # compaction is content-preserving BY CONTRACT (the op tag
             # is written only by compact_snapshot_commit, which reads
             # and rewrites the same rows) — digest-diffing it would
@@ -890,6 +1069,21 @@ def read_changes(
             # Skipping also keeps a post-MoR-delete compaction legal
             # inside a range: its cleared delete list reflects
             # materialized, not changed, rows.
+            prev = m
+            continue
+        if op == "replace":
+            # full-content overwrite: drop+insert by op-tag contract —
+            # the one commit where "diff the files" IS "scan the
+            # table", so the fast path is also the only bounded one.
+            steps.append(("replace", v, prev, m))
+            prev = m
+            continue
+        if "changes" in m:
+            # the commit materialized its own row delta (cdf table):
+            # the step is a plain scan of the change files. Recorded
+            # as [] when the commit provably changed nothing.
+            if m["changes"]:
+                steps.append(("materialized", v, m["changes"]))
             prev = m
             continue
         if _delete_entries(m) != _delete_entries(prev):
@@ -902,8 +1096,36 @@ def read_changes(
         removed = [e for e in prev["files"] if e["path"] not in cur_by_path]
         added = [e for e in m["files"] if e["path"] not in prev_by_path]
         if removed or added:
-            steps.append((v, prev, removed, added))
+            steps.append(("diff", v, prev, removed, added))
         prev = m
+
+    def step_materialized(v, entries):
+        ch_schema = T.StructType(
+            [T.StructField(_CHANGE_TYPE_COL, T.StringType())]
+            + list(schema.fields)
+        )
+        ch = spark.read.schema(ch_schema).parquet(
+            *[os.path.join(loc, e["path"]) for e in entries]
+        )
+        return ch.select(
+            _CHANGE_TYPE_COL,
+            *out_cols,
+            F.lit(v).cast("int").alias("_commit_version"),
+        )
+
+    def step_replace(v, parent, m):
+        ver = F.lit(v).cast("int").alias("_commit_version")
+        old = _read_with_deletes(
+            spark, loc, schema, parent["files"], _delete_entries(parent)
+        ).select(*out_cols)
+        new = _read_with_deletes(spark, loc, schema, m["files"], []).select(
+            *out_cols
+        )
+        return old.select(
+            F.lit("delete").alias("_change_type"), *out_cols, ver
+        ).unionAll(
+            new.select(F.lit("insert").alias("_change_type"), *out_cols, ver)
+        )
 
     def step_changes(v, parent, removed, added):
         from pyspark.sql import Window
@@ -986,7 +1208,12 @@ def read_changes(
             + [T.StructField("_commit_version", T.IntegerType())]
         )
         return spark.createDataFrame([], empty)
-    parts = [step_changes(*s) for s in steps]
+    builders = {
+        "materialized": step_materialized,
+        "replace": step_replace,
+        "diff": step_changes,
+    }
+    parts = [builders[s[0]](*s[1:]) for s in steps]
     return functools.reduce(DataFrame.unionAll, parts)
 
 
@@ -1322,6 +1549,157 @@ def compact_snapshot_commit(
     )
 
 
+def replace_snapshot_commit(
+    spark: SparkSession,
+    loc: str,
+    df: DataFrame,
+    files: int | None = None,
+    max_attempts: int = 5,
+    expected_parent: int | None = None,
+) -> int | None:
+    """Full-content REPLACE (INSERT OVERWRITE) as one atomic commit —
+    the commit-taxonomy member between append (add only) and merge
+    (keyed rewrite): the child manifest references ONLY the new files,
+    every parent file leaves by identity (still owned by history — a
+    reader of any prior version is untouched, vacuum is the only
+    deleter), and equality-delete debt clears (the replacement content
+    IS the table; old deletes applied to files no longer referenced).
+
+    Commit taxonomy contracts: ``read_incremental`` REFUSES a range
+    containing a replace (parent files do not survive — a file diff
+    would misread rewritten history; validated from the manifests, not
+    this op tag); ``read_changes`` fast-paths it as drop+insert (every
+    old row deletes, every new row inserts — Delta's CDF semantics for
+    overwrite commits, and the one step shape where diffing the files
+    would BE a table scan). The replaced frame is schema-validated at
+    commit time like appends. ``expected_parent`` is the usual
+    conditional-commit CAS."""
+    for _ in range(max_attempts):
+        base_v = latest_version(loc)
+        if base_v is None:
+            raise FileNotFoundError(f"no snapshot table at {loc}")
+        if expected_parent is not None and base_v != expected_parent:
+            return None
+        m = load_manifest(loc, base_v)
+        _check_append_schema(df, m, loc)
+        version = base_v + 1
+        new_files = _stamp_seq(
+            _write_commit_files(
+                df,
+                loc,
+                version,
+                m["part_col"],
+                files=files,
+                **_table_write_opts(m),
+            ),
+            version,
+        )
+        manifest = {
+            "format": _FORMAT,
+            "version": version,
+            "parent": base_v,
+            "part_col": m["part_col"],
+            "schema": m["schema"],
+            "files": new_files,
+            "deletes": [],
+            "tags": _applied_tags(m),
+            "commit": {
+                "op": "replace",
+                "rows": sum(e["rows"] for e in new_files),
+            },
+        }
+        try:
+            _publish_manifest(loc, _carry_write_contract(manifest, m))
+            return version
+        except FileExistsError:
+            shutil.rmtree(
+                os.path.join(loc, "data", f"c{version:08d}_{os.getpid()}"),
+                ignore_errors=True,
+            )
+    raise RuntimeError(
+        f"snapshot replace on {loc}: lost the optimistic-commit race "
+        f"{max_attempts} times"
+    )
+
+
+def evolve_partition_spec(
+    spark: SparkSession,
+    loc: str,
+    new_part_col: str,
+    max_attempts: int = 5,
+) -> int:
+    """PARTITION-SPEC EVOLUTION as a METADATA-ONLY commit (the
+    Iceberg spec-evolution contract, near-trivial here because pruning
+    is stats-based, not path-based): the child manifest declares
+    ``new_part_col`` as the partition column over the PARENT'S file
+    list — zero data rewritten, whatever the table size.
+
+    Old files keep their pruning power on BOTH specs: their old-spec
+    min/max migrates into the per-column ``stats`` map under the old
+    column's name (so old-spec predicates keep pruning via
+    ``snapshot_files_keyrange``), and their first-class min/max becomes
+    their recorded stats for the NEW column when the table declared it
+    in ``stats_cols`` (Iceberg per-column stats — this is why a table
+    expecting spec evolution declares the future partition column
+    up front), else None = conservatively kept. Commits after the
+    evolution range-cluster and record stats on the new column
+    automatically (every write path reads ``part_col`` from the
+    manifest it parents on). Idempotent: evolving to the current spec
+    returns the current version with no commit — racing peers
+    converge."""
+    for _ in range(max_attempts):
+        base_v = latest_version(loc)
+        if base_v is None:
+            raise FileNotFoundError(f"no snapshot table at {loc}")
+        m = load_manifest(loc, base_v)
+        old_part = m["part_col"]
+        if old_part == new_part_col:
+            return base_v
+        schema = T.StructType.fromJson(m["schema"])
+        if new_part_col not in schema.names:
+            raise ValueError(
+                f"partition column '{new_part_col}' not in table schema "
+                f"at {loc}"
+            )
+        migrated = []
+        for e in m["files"]:
+            e2 = dict(e)
+            stats = dict(e2.get("stats", {}))
+            if e2.get("min") is not None:
+                stats[old_part] = [e2["min"], e2["max"]]
+            new_range = stats.get(new_part_col)
+            e2["min"], e2["max"] = (
+                (new_range[0], new_range[1]) if new_range else (None, None)
+            )
+            if stats:
+                e2["stats"] = stats
+            migrated.append(e2)
+        manifest = {
+            "format": _FORMAT,
+            "version": base_v + 1,
+            "parent": base_v,
+            "part_col": new_part_col,
+            "schema": m["schema"],
+            "files": migrated,
+            "deletes": _delete_entries(m),
+            "tags": _applied_tags(m),
+            "commit": {
+                "op": "evolve_partition_spec",
+                "from": old_part,
+                "to": new_part_col,
+            },
+        }
+        try:
+            _publish_manifest(loc, _carry_write_contract(manifest, m))
+            return base_v + 1
+        except FileExistsError:
+            continue  # pure metadata: nothing to clean, just recompute
+    raise RuntimeError(
+        f"partition-spec evolution on {loc}: lost the optimistic-commit "
+        f"race {max_attempts} times"
+    )
+
+
 # --- named refs: tags (immutable) and branches (CAS-movable heads) ----
 # A ref is a NAME → VERSION pointer published with the same link(2)
 # CAS as manifests. Tags are immutable (the "train tag": the corpus
@@ -1403,10 +1781,12 @@ def create_branch(loc: str, name: str, version: int | None = None) -> int:
     return version
 
 
-def _branch_entries(loc: str, name: str) -> list[tuple[int, str]]:
-    d = os.path.join(_refs_dir(loc, "heads"), name)
+def _branch_entries(
+    loc: str, name: str, kind: str = "heads"
+) -> list[tuple[int, str]]:
+    d = os.path.join(_refs_dir(loc, kind), name)
     if not os.path.isdir(d):
-        raise KeyError(f"no branch {name!r} at {loc}")
+        raise KeyError(f"no {kind[:-1]} {name!r} at {loc}")
     out = []
     for n in os.listdir(d):
         if n.startswith("r") and n.endswith(".json"):
@@ -1415,40 +1795,119 @@ def _branch_entries(loc: str, name: str) -> list[tuple[int, str]]:
             except ValueError:
                 continue
     if not out:
-        raise KeyError(f"no branch {name!r} at {loc}")
+        raise KeyError(f"no {kind[:-1]} {name!r} at {loc}")
     return sorted(out)
+
+
+def branch_head_entry(
+    loc: str, name: str, kind: str = "heads"
+) -> tuple[int, int]:
+    """(entry number, version) of the branch's current head — the
+    entry number is the CAS token movers pass back to update_branch
+    as ``expected_entry`` for an ABA-proof advance."""
+    k, path = _branch_entries(loc, name, kind)[-1]
+    with open(path) as f:
+        return k, json.load(f)["version"]
 
 
 def branch_head(loc: str, name: str) -> int:
     """The branch's current version (its highest-numbered ref entry)."""
-    _k, path = _branch_entries(loc, name)[-1]
-    with open(path) as f:
-        return json.load(f)["version"]
+    return branch_head_entry(loc, name)[1]
 
 
 def update_branch(
-    loc: str, name: str, new_version: int, expected_version: int
+    loc: str,
+    name: str,
+    new_version: int,
+    expected_version: int,
+    expected_entry: int | None = None,
+    _kind: str = "heads",
 ) -> bool:
     """Advance the branch head, CAS-conditional on the CURRENT head:
     returns False (nothing published) when the head is not
     ``expected_version`` or a racing mover claims the next entry
     first — the loser re-reads and retries, exactly the
-    optimistic-commit loop writers run on manifests."""
-    entries = _branch_entries(loc, name)
+    optimistic-commit loop writers run on manifests.
+
+    The value-only CAS is sound for MONOTONE advances (every current
+    caller): a stale mover's expected value can only re-match if the
+    head returned to it, which monotone heads never do. For heads
+    that may legitimately revisit a version (rollback then re-land —
+    the ABA case, ADVICE r9), pass ``expected_entry`` from
+    ``branch_head_entry``: the CAS then also requires the head to
+    still be at that exact ENTRY NUMBER, which never repeats."""
+    entries = _branch_entries(loc, name, _kind)
     k, path = entries[-1]
     with open(path) as f:
         cur = json.load(f)["version"]
     if cur != expected_version:
         return False
+    if expected_entry is not None and k != expected_entry:
+        return False
     new_version = _check_ref_version(loc, new_version)
     nxt = os.path.join(
-        _refs_dir(loc, "heads"), name, f"r{k + 1:08d}.json"
+        _refs_dir(loc, _kind), name, f"r{k + 1:08d}.json"
     )
     try:
         _write_ref_file(nxt, {"version": new_version})
     except FileExistsError:
         return False
     return True
+
+
+# --- consumer cursors: the CDF subscribe/resume bookmark ---------------
+# A cursor is a named consumer's "last version I have fully applied"
+# pointer on a table — the same numbered-entry CAS chain as a branch
+# head, in its own namespace. The consumer loop is: read the cursor,
+# read_changes(cursor → head), apply, advance the cursor with the
+# entry-number CAS (ABA-proof; exactly one racing consumer instance
+# lands each advance, the rest observe it done — at-most-once apply
+# per change range when the apply itself is idempotent). Vacuum treats
+# a cursor like any other ref pin: the cursor's version stays retained
+# so the consumer can always resume from where it stopped (retained
+# history above it is protected by keep_latest).
+
+
+def create_cursor(loc: str, name: str, version: int | None = None) -> int:
+    """Create a consumer cursor at a version (default: latest).
+    Concurrent-idempotent like create_branch: same-version re-create
+    converges, different raises."""
+    version = _check_ref_version(loc, version)
+    path = os.path.join(_refs_dir(loc, "cursors"), name, "r00000000.json")
+    try:
+        _write_ref_file(path, {"version": version})
+    except FileExistsError:
+        with open(path) as f:
+            existing = json.load(f)["version"]
+        if existing != version:
+            raise ValueError(
+                f"cursor {name!r} at {loc} was already created at "
+                f"v{existing}, not v{version}"
+            ) from None
+    return version
+
+
+def cursor_entry(loc: str, name: str) -> tuple[int, int]:
+    """(entry number, position) of a consumer cursor — the entry
+    number is the ABA-proof CAS token for advance_cursor."""
+    return branch_head_entry(loc, name, kind="cursors")
+
+
+def advance_cursor(
+    loc: str, name: str, new_version: int, expected_entry: int
+) -> bool:
+    """CAS-advance a consumer cursor to ``new_version``, conditional
+    on its current ENTRY NUMBER (from cursor_entry) — entry numbers
+    never repeat, so the advance is ABA-proof by construction."""
+    entries = _branch_entries(loc, name, "cursors")
+    k, path = entries[-1]
+    if k != expected_entry:
+        return False
+    with open(path) as f:
+        cur = json.load(f)["version"]
+    return update_branch(
+        loc, name, new_version, cur, expected_entry=k, _kind="cursors"
+    )
 
 
 def resolve_ref(loc: str, name: str) -> int:
@@ -1470,17 +1929,19 @@ def delete_ref(loc: str, name: str) -> bool:
     if os.path.exists(tag):
         os.unlink(tag)
         return True
-    d = os.path.join(_refs_dir(loc, "heads"), name)
-    if os.path.isdir(d):
-        shutil.rmtree(d)
-        return True
+    for kind in ("heads", "cursors"):
+        d = os.path.join(_refs_dir(loc, kind), name)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            return True
     return False
 
 
 def _ref_versions(loc: str) -> set[int]:
-    """Every version a tag or branch HEAD currently references —
-    vacuum's protected set (historical branch entries are history:
-    only the head pins retention, as in Iceberg)."""
+    """Every version a tag, branch HEAD, or consumer CURSOR currently
+    references — vacuum's protected set (historical branch entries are
+    history: only the head pins retention, as in Iceberg; a cursor
+    pins its position so a paused consumer can always resume)."""
     out: set[int] = set()
     tags = _refs_dir(loc, "tags")
     if os.path.isdir(tags):
@@ -1488,13 +1949,14 @@ def _ref_versions(loc: str) -> set[int]:
             if n.endswith(".json"):
                 with open(os.path.join(tags, n)) as f:
                     out.add(json.load(f)["version"])
-    heads = _refs_dir(loc, "heads")
-    if os.path.isdir(heads):
-        for name in os.listdir(heads):
-            try:
-                out.add(branch_head(loc, name))
-            except KeyError:
-                continue
+    for kind in ("heads", "cursors"):
+        d = _refs_dir(loc, kind)
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                try:
+                    out.add(branch_head_entry(loc, name, kind)[1])
+                except KeyError:
+                    continue
     return out
 
 
@@ -1523,6 +1985,8 @@ def vacuum_snapshot(loc: str, keep_latest: int = 1) -> tuple[int, int]:
         m = load_manifest(loc, v)
         live |= {e["path"] for e in m["files"]}
         live |= {e["path"] for e in _delete_entries(m)}
+        # a retained commit's materialized change files stay readable
+        live |= {e["path"] for e in m.get("changes", [])}
     dropped_m = 0
     for v in range(0, latest + 1):
         if v in protected:
@@ -1541,3 +2005,147 @@ def vacuum_snapshot(loc: str, keep_latest: int = 1) -> tuple[int, int]:
                 os.unlink(p)
                 dropped_f += 1
     return (dropped_m, dropped_f)
+
+
+def apply_changes_commit(
+    spark: SparkSession,
+    loc: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    part_of,
+    touched: list,
+) -> int:
+    """Apply a CHANGE DATA FEED range to a REPLICA snapshot table —
+    the standard CDC-apply consumer (Delta's APPLY CHANGES): reduce
+    the range to the LATEST image per key (window over
+    ``_commit_version``; pre-images drop — a key touched by several
+    commits in the range lands once, at its final state), then
+    upsert the surviving inserts/post-images as one idempotent merge
+    commit and erase the surviving deletes as one equality-delete
+    commit. Absolute values make the apply IDEMPOTENT: a consumer
+    crash between apply and cursor-advance re-applies the same range
+    as same-value updates and the replica converges (the
+    stream_snapshot_ingest exactly-once story).
+
+    The two ``isEmpty`` probes are bounded by |changes| — the frame a
+    CDF consumer holds by definition (commit-bounded, never |table|);
+    Merger refuses empty batches, so a deletes-only or upserts-only
+    range must skip the other arm. Returns the replica's new head
+    version."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_commit_version").desc()
+    )
+    latest = (
+        changes.filter(F.col(_CHANGE_TYPE_COL) != "update_preimage")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    head = latest_version(loc)
+    if head is None:
+        raise FileNotFoundError(f"no replica snapshot table at {loc}")
+    m = load_manifest(loc, head)
+    part_col = m["part_col"]
+    schema = T.StructType.fromJson(m["schema"])
+    data_cols = [c for c in schema.names if c != part_col]
+    ups = latest.filter(F.col(_CHANGE_TYPE_COL) != "delete").select(
+        *data_cols
+    )
+    dels = latest.filter(F.col(_CHANGE_TYPE_COL) == "delete").select(
+        *key_cols
+    )
+    v = head
+    if not ups.isEmpty():
+        v = merge_snapshot_commit(
+            spark, loc, ups, key_cols, part_of, touched
+        )
+    if not dels.isEmpty():
+        v = delete_keys_commit(spark, loc, dels, key_cols)
+    return v
+
+
+# --- catalog manifest: multi-table atomic commits ----------------------
+# The link(2)-CAS commit protocol generalized one level up: a CATALOG
+# is a versioned manifest whose payload names other tables' versions
+# (and any consumer state, e.g. a cursor position). Publishing N
+# version pointers in ONE catalog entry makes them atomic for every
+# reader that resolves through the catalog: there is no instant at
+# which table A's v_{n+1} is visible with table B's v_n — the exact
+# multi-table transaction a (replica table, consumer cursor) pair
+# needs, and the same structure an N-table warehouse commit would use.
+
+
+_CATALOG_FORMAT = "dbis-catalog/1"
+
+
+def _catalog_path(cat_loc: str, version: int) -> str:
+    return os.path.join(cat_loc, "_catalog", f"v{version:08d}.json")
+
+
+def catalog_latest(cat_loc: str) -> int | None:
+    """Highest published catalog version, or None for no catalog."""
+    d = os.path.join(cat_loc, "_catalog")
+    if not os.path.isdir(d):
+        return None
+    best = None
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            best = v if best is None else max(best, v)
+    return best
+
+
+def load_catalog(cat_loc: str, version: int | None = None) -> dict:
+    """One immutable catalog entry — the atomic multi-table read
+    point: every version pointer in it was published together."""
+    if version is None:
+        version = catalog_latest(cat_loc)
+        if version is None:
+            raise FileNotFoundError(f"no catalog at {cat_loc}")
+    with open(_catalog_path(cat_loc, version)) as f:
+        c = json.load(f)
+    if c.get("format") != _CATALOG_FORMAT:
+        raise ValueError(f"not a {_CATALOG_FORMAT} entry: {cat_loc} v{version}")
+    return c
+
+
+def catalog_commit(
+    cat_loc: str, tables: dict, expected_version: int | None = None
+) -> int | None:
+    """Atomically publish a new catalog entry binding table versions
+    (and any consumer state) together. ``expected_version`` is the
+    usual conditional CAS: None commits on top of whatever is current
+    (first commit lands v0); a version number makes the commit
+    conditional on the catalog still being there — returns None when
+    it moved, and a racing publisher losing the link(2) CAS also
+    returns None (re-read and retry, as everywhere in the protocol)."""
+    cur = catalog_latest(cat_loc)
+    if expected_version is not None and cur != expected_version:
+        return None
+    version = 0 if cur is None else cur + 1
+    entry = {
+        "format": _CATALOG_FORMAT,
+        "version": version,
+        "parent": cur,
+        "tables": tables,
+    }
+    d = os.path.dirname(_catalog_path(cat_loc, version))
+    os.makedirs(d, exist_ok=True)
+    final = _catalog_path(cat_loc, version)
+    tmp = final + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        return None
+    finally:
+        os.unlink(tmp)
+    return version
