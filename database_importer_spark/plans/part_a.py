@@ -984,8 +984,10 @@ def _ref_table(spark, sf_dir):
 )
 def table_branch_write_read(spark, sf_dir):
     """Named refs — the TAG half (VERDICT r8 item 4): tag 'train' is
-    pinned at v0, the table is committed PAST it (a fresh merge every
-    invocation), and the read resolves the tag — byte-exact v0, hash-
+    pinned at v0, the table is committed PAST it ONCE (CAS-guarded on
+    expected_parent — the refs are the contract this key measures,
+    merge throughput is the merge keys' job; later invocations observe
+    the chain done), and the read resolves the tag — byte-exact v0, hash-
     matched against the untouched source. This is the reproducible-
     training-run primitive ("the corpus exactly as the tagged run saw
     it") with a NAME instead of a version number, and the tag is what
@@ -1017,7 +1019,7 @@ def table_branch_head_read(spark, sf_dir):
     return read_snapshot(spark, loc, ref="main").select(*_SNAP_OUT_COLS)
 
 
-def _snap_create_named(spark, sf_dir, name, files=16):
+def _snap_create_named(spark, sf_dir, name, files=16, cdf=False):
     """Create-once v0 = orders + o_month on a per-key snapshot table
     (the DELETE keys mutate destructively, so they each own a table
     instead of sharing the merge family's). Same fan-out contract as
@@ -1027,7 +1029,9 @@ def _snap_create_named(spark, sf_dir, name, files=16):
     is bounded by the files INTERSECTING one month pass files≈84
     (month-pure-ish slices): a copy-on-write rewrite then touches
     ~1 month of rows instead of a 5-month file — the granularity a
-    real table would choose when its merge batches are month-scoped."""
+    real table would choose when its merge batches are month-scoped.
+    ``cdf`` enables the change-data-feed write contract (merge commits
+    materialize their row delta — the tables the CDF keys consume)."""
     from database_importer_spark.operators.snapshot_table import (
         create_snapshot_table,
     )
@@ -1039,7 +1043,7 @@ def _snap_create_named(spark, sf_dir, name, files=16):
         return o.withColumn(_PM_PART_COL, _pm_month_of(o))
 
     create_snapshot_table(
-        spark, loc, src, _PM_PART_COL, "o_orderkey", files=files
+        spark, loc, src, _PM_PART_COL, "o_orderkey", files=files, cdf=cdf
     )
     return loc
 
@@ -1193,8 +1197,12 @@ def table_changes_merge(spark, sf_dir):
     # merge (the shared merge table's v1 can be any first-comer commit,
     # e.g. a streaming micro-batch). A racing creator that loses the
     # version CAS re-merges the identical batch at v2+ — v0→v1 stays
-    # the canonical commit either way.
-    loc = _snap_create_named(spark, sf_dir, "cdc")
+    # the canonical commit either way. cdf=True: the merge commit
+    # MATERIALIZES its row delta as change files (r10 — the Delta
+    # `_change_data` design), so this read is a plain scan of them;
+    # pre-cdf tables fall back to the read-time digest diff,
+    # test-pinned equal.
+    loc = _snap_create_named(spark, sf_dir, "cdc", cdf=True)
     if latest_version(loc) == 0:
         batch, touched = _snap_batch_touched(spark, sf_dir, loc)
         merge_snapshot_commit(
@@ -1292,7 +1300,11 @@ def _feed_table(spark, sf_dir):
 
     # files=72 ≈ one pre-1998 month per v0 slice: the merge step's
     # removed/added diff is then bounded by ~one month of rows.
-    create_snapshot_table(spark, loc, src, _PM_PART_COL, "o_orderkey", files=72)
+    # cdf=True (r10): the merge step materializes its change files at
+    # commit time, so consumer reads of v2 are plain scans.
+    create_snapshot_table(
+        spark, loc, src, _PM_PART_COL, "o_orderkey", files=72, cdf=True
+    )
     if latest_version(loc) == 0:
         delta = t(spark, sf_dir, "orders").filter(
             F.col("o_orderdate") >= cutoff
@@ -1380,6 +1392,243 @@ def table_changes_feed(spark, sf_dir):
     loc, head = _feed_table(spark, sf_dir)
     ch = read_changes(spark, loc, 0, head, ["o_orderkey"])
     return ch.select("_change_type", *_SNAP_OUT_COLS, "_commit_version")
+
+
+@declare("table_changes_cursor", oracle=_PART_MERGE_ORACLE)
+def table_changes_cursor(spark, sf_dir):
+    """CDF SUBSCRIBE/RESUME (VERDICT r9 item 3) + the multi-table
+    atomic catalog (item 5), composed into the production consumer
+    loop: a named CURSOR on the feed table persists "the last version
+    this consumer fully applied"; the consumer reads
+    read_changes(cursor → head), applies the range to a REPLICA
+    snapshot table via the latest-image-per-key CDC apply
+    (operators/snapshot_table.apply_changes_commit — Delta's APPLY
+    CHANGES), advances the cursor with an entry-number CAS (ABA-proof:
+    entry numbers never repeat), and publishes (replica version,
+    cursor position) together in ONE catalog manifest entry
+    (catalog_commit) — a catalog reader can never observe the replica
+    advanced without its cursor, or vice versa.
+
+    Crash/replay convergence (the stream_snapshot_ingest story): a
+    consumer dying between apply and cursor-advance re-applies the
+    same range as same-value updates — absolute values make the apply
+    idempotent, so the replica converges and exactly one racer lands
+    each cursor advance. Once the cursor reaches the head the loop is
+    a metadata no-op. Cost per catch-up = Σ |commit change sets|
+    (materialized change files on this cdf table), never |table| —
+    the replica's full state is returned and hash-matched against the
+    same merged-state oracle as the flagship merge keys, which is
+    what proves the feed carried EVERY row effect. The cursor also
+    pins its version against vacuum (a paused consumer can always
+    resume). Bounded driver-side steps: cursor/catalog file reads and
+    the memoized touched-months collect (the fenced
+    touched_partitions class)."""
+    from database_importer_spark.operators.merge_partitioned import (
+        touched_partitions,
+    )
+    from database_importer_spark.operators.snapshot_table import (
+        advance_cursor,
+        apply_changes_commit,
+        catalog_commit,
+        create_cursor,
+        create_snapshot_table,
+        cursor_entry,
+        read_changes,
+        read_snapshot,
+    )
+
+    loc, head = _feed_table(spark, sf_dir)
+    rloc = _snap_loc(spark, sf_dir, "replica")
+    create_snapshot_table(
+        spark,
+        rloc,
+        lambda: read_snapshot(spark, loc, version=0),
+        _PM_PART_COL,
+        "o_orderkey",
+        files=16,
+    )
+    create_cursor(loc, "replica", version=0)
+    cat_loc = rloc + "_catalog"
+    for _ in range(8):
+        entry_k, pos = cursor_entry(loc, "replica")
+        if pos >= head:
+            break
+        ch = read_changes(spark, loc, pos, head, ["o_orderkey"])
+        touched = touched_partitions(
+            spark,
+            ch.filter(F.col("_change_type") != "update_preimage"),
+            F.col(_PM_PART_COL),
+            ("table_changes_cursor", loc, pos, head),
+        )
+        rv = apply_changes_commit(
+            spark, rloc, ch, ["o_orderkey"], _pm_month_of, touched
+        )
+        if advance_cursor(loc, "replica", head, expected_entry=entry_k):
+            # the winning consumer publishes BOTH pointers atomically;
+            # a losing racer's state was landed by the winner already.
+            catalog_commit(
+                cat_loc,
+                {
+                    "replica": {"loc": rloc, "version": rv},
+                    "cursor": {"table": loc, "name": "replica",
+                               "position": head},
+                },
+            )
+    return read_snapshot(spark, rloc).select(*_SNAP_OUT_COLS)
+
+
+_REPL_YEAR = 1996
+
+
+def _repl_table(spark, sf_dir):
+    """The REPLACE fixture: v0 = full orders, v1 = one atomic
+    full-content REPLACE with the {_REPL_YEAR} slice (CAS-guarded on
+    expected_parent — exactly one racer lands it, later invocations
+    observe the chain done). Both replace keys read immutable
+    versions of this chain, so they are deterministic forever."""
+    from database_importer_spark.operators.snapshot_table import (
+        latest_version,
+        replace_snapshot_commit,
+    )
+
+    loc = _snap_create_named(spark, sf_dir, "repl")
+    if latest_version(loc) == 0:
+        o = t(spark, sf_dir, "orders").filter(
+            F.year("o_orderdate") == _REPL_YEAR
+        )
+        replace_snapshot_commit(
+            spark,
+            loc,
+            o.withColumn(_PM_PART_COL, _pm_month_of(o)),
+            files=4,
+            expected_parent=0,
+        )
+    return loc
+
+
+@declare(
+    "table_replace_overwrite",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE year(o_orderdate) = {_REPL_YEAR}
+    """,
+)
+def table_replace_overwrite(spark, sf_dir):
+    """Full-content REPLACE (INSERT OVERWRITE) as one atomic snapshot
+    commit (VERDICT r9 item 2 — the last commit-taxonomy hole;
+    operators/snapshot_table.replace_snapshot_commit): the retention
+    job that keeps only the {_REPL_YEAR} slice publishes the new
+    content as ONE version — no instant at which a reader sees a
+    half-replaced table, and every parent file survives by identity
+    for time travel until vacuum. Write cost is |new content|, the
+    replace contract. Taxonomy contracts around it are pinned in
+    tests: read_incremental REFUSES a range containing the replace
+    (validated from the manifests — parent files don't survive);
+    read_changes fast-paths it as drop+insert by op tag
+    (table_changes_replace is that read). Hash-matched against the
+    plain year-slice oracle: replaced content exact, nothing else
+    visible."""
+    from database_importer_spark.operators.snapshot_table import read_snapshot
+
+    loc = _repl_table(spark, sf_dir)
+    return read_snapshot(spark, loc, version=1).select(*_SNAP_OUT_COLS)
+
+
+@declare(
+    "table_changes_replace",
+    oracle=f"""
+    SELECT 'delete' AS _change_type, o_orderkey, o_custkey,
+           o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+           CAST(1 AS INTEGER) AS _commit_version
+    FROM orders
+    UNION ALL
+    SELECT 'insert', o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority,
+           CAST(1 AS INTEGER)
+    FROM orders
+    WHERE year(o_orderdate) = {_REPL_YEAR}
+    """,
+)
+def table_changes_replace(spark, sf_dir):
+    """CHANGE DATA FEED over a REPLACE commit — the drop+insert
+    degenerate path (Delta's CDF semantics for overwrite commits,
+    VERDICT r9 item 2's op-tag contract): every pre-replace row emits
+    as ``delete``, every replacement row as ``insert``, with NO diff
+    work — this is the one commit shape where diffing the files would
+    BE a table scan, so the op tag is also what keeps read_changes'
+    bounded-cost claim honest across it. Old-side rows honor the
+    deletes that applied at the parent version (a row already
+    invisible never reports deleted). Reads the immutable v0→v1 of
+    the replace fixture — deterministic forever."""
+    from database_importer_spark.operators.snapshot_table import read_changes
+
+    loc = _repl_table(spark, sf_dir)
+    ch = read_changes(spark, loc, 0, 1, ["o_orderkey"])
+    return ch.select("_change_type", *_SNAP_OUT_COLS, "_commit_version")
+
+
+@declare(
+    "table_partition_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE year(o_orderdate) = 1998
+    """,
+)
+def table_partition_evolution(spark, sf_dir):
+    """PARTITION-SPEC EVOLUTION as a metadata-only commit (VERDICT r9
+    item 4; operators/snapshot_table.evolve_partition_spec): the table
+    starts partitioned by month (v0, pre-1998 history, with o_year
+    declared in stats_cols — the forward-compatible move for a table
+    expecting to coarsen its spec), evolves to partition by YEAR at v1
+    (zero data rewritten — the manifest re-declares the spec and each
+    old file's month range migrates into its per-column stats map
+    while its recorded o_year stats become its first-class pruning
+    range), then the 1998 slice lands under the NEW spec at v2
+    (CAS-guarded append). The read prunes by year ACROSS the spec
+    boundary: old files prune via their migrated per-column stats,
+    new files via first-class year stats — mixed-spec pruning is
+    exactly what Iceberg's spec evolution must keep working, and the
+    stats-based design makes it free here (a path-based partitioner
+    would re-layout). inputFiles-pinned in tests; hash-matched
+    against the year slice."""
+    from database_importer_spark.operators.snapshot_table import (
+        append_snapshot_commit,
+        create_snapshot_table,
+        evolve_partition_spec,
+        latest_version,
+        read_snapshot,
+    )
+
+    loc = _snap_loc(spark, sf_dir, "pspec")
+    cutoff = F.lit(_INC_CUTOFF).cast("timestamp")
+
+    def src():
+        o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+        o = o.withColumn(_PM_PART_COL, _pm_month_of(o))
+        return o.withColumn("o_year", F.year("o_orderdate").cast("int"))
+
+    create_snapshot_table(
+        spark,
+        loc,
+        src,
+        _PM_PART_COL,
+        "o_orderkey",
+        files=16,
+        stats_cols=["o_year"],
+    )
+    evolve_partition_spec(spark, loc, "o_year")
+    if latest_version(loc) == 1:
+        d = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= cutoff)
+        d = d.withColumn(_PM_PART_COL, _pm_month_of(d)).withColumn(
+            "o_year", F.year("o_orderdate").cast("int")
+        )
+        append_snapshot_commit(spark, loc, d, files=2, expected_parent=1)
+    df = read_snapshot(spark, loc, part_values=[1998])
+    return df.filter(F.col("o_year") == 1998).select(*_SNAP_OUT_COLS)
 
 
 @declare(

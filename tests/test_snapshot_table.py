@@ -836,3 +836,297 @@ def test_declared_point_lookup_frame_is_cached(spark):
     sound because a snapshot's plan is immutable)."""
     fn = REGISTRY["table_point_lookup_pruned"].fn
     assert fn(spark, SF) is fn(spark, SF)
+
+
+# --- round 10: materialized CDF, replace, spec evolution, cursors ------
+
+
+def test_cdf_materialized_equals_diff(spark, tmp_path):
+    """Write-side CDF (r10): a cdf=True table's merge commit persists
+    its row-level delta as change files; read_changes over it is a
+    plain scan, pinned EQUAL to the digest-diff fallback a plain
+    table computes for the same commit — including the cancellation
+    of same-value updates (a matched row whose post-image equals its
+    pre-image is not a change)."""
+    locs = {}
+    for name, cdf in (("cdf", True), ("plain", False)):
+        loc = str(tmp_path / name)
+
+        def src():
+            df = spark.range(40).select(
+                F.col("id").cast("int").alias("k"),
+                F.concat(F.lit("v"), F.col("id")).alias("val"),
+            )
+            return df.withColumn("m", F.floor(F.col("k") / 10).cast("int"))
+
+        st.create_snapshot_table(spark, loc, src, "m", "k", files=4, cdf=cdf)
+        # k=5 changes, k=7 is a same-value no-op, k=105 inserts
+        st.merge_snapshot_commit(
+            spark,
+            loc,
+            _batch(spark, [(5, "UPD"), (7, "v7"), (105, "NEW")]),
+            ["k"],
+            _part_of,
+            touched=[0, 10],
+        )
+        locs[name] = loc
+    m1 = st.load_manifest(locs["cdf"], 1)
+    assert m1.get("cdf") is True and "changes" in m1
+    assert "changes" not in st.load_manifest(locs["plain"], 1)
+    rows = {}
+    for name, loc in locs.items():
+        rows[name] = sorted(
+            (r["_change_type"], r["k"], r["val"], r["_commit_version"])
+            for r in st.read_changes(spark, loc, 0, 1, ["k"]).collect()
+        )
+    assert rows["cdf"] == rows["plain"] == [
+        ("insert", 105, "NEW", 1),
+        ("update_postimage", 5, "UPD", 1),
+        ("update_preimage", 5, "v5", 1),
+    ]
+    # the materialized read is a PLAIN SCAN: no join, no exchange
+    plan = (
+        st.read_changes(spark, locs["cdf"], 0, 1, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_replace_commit_taxonomy(spark, tmp_path):
+    """REPLACE (r10): atomic full-content overwrite — one version
+    holds the new content, parent files survive by identity for time
+    travel, equality-delete debt clears, incremental scans refuse the
+    range, CDF fast-paths it as drop+insert with zero diff work."""
+    loc = _mk_table(spark, tmp_path)  # keys 0..39
+    st.delete_keys_commit(
+        spark, loc, spark.createDataFrame([(3,)], "k int"), ["k"]
+    )  # v1: MoR delete debt
+    pre_files = {e["path"] for e in st.load_manifest(loc, 0)["files"]}
+    new = spark.createDataFrame(
+        [(100 + i, f"r{i}", (100 + i) // 10) for i in range(5)],
+        "k int, val string, m int",
+    )
+    v = st.replace_snapshot_commit(spark, loc, new, files=1, expected_parent=1)
+    assert v == 2
+    m2 = st.load_manifest(loc, 2)
+    assert m2["commit"]["op"] == "replace" and m2["deletes"] == []
+    assert not pre_files & {e["path"] for e in m2["files"]}
+    assert set(_state(spark, loc)) == {100, 101, 102, 103, 104}
+    # time travel: v1 still shows the pre-replace (delete-applied) state
+    assert set(_state(spark, loc, version=1)) == set(range(40)) - {3}
+    # incremental refuses the replace step, from the manifests
+    with pytest.raises(ValueError):
+        st.incremental_entries(loc, 0, 2)
+    # CDF drop+insert: old rows (minus the MoR-deleted key) delete,
+    # new rows insert; no diff machinery in the plan
+    ch = st.read_changes(spark, loc, 1, 2, ["k"])
+    by_type = {}
+    for r in ch.collect():
+        by_type.setdefault(r["_change_type"], set()).add(r["k"])
+    assert by_type["delete"] == set(range(40)) - {3}
+    assert by_type["insert"] == {100, 101, 102, 103, 104}
+    # conditional CAS + schema validation
+    assert (
+        st.replace_snapshot_commit(spark, loc, new, expected_parent=0) is None
+    )
+    with pytest.raises(ValueError):
+        st.replace_snapshot_commit(
+            spark, loc, new.withColumnRenamed("val", "value")
+        )
+
+
+def test_partition_spec_evolution_mixed_prune(spark, tmp_path):
+    """Spec evolution (r10) is metadata-only and pruning works ACROSS
+    the boundary: old files keep their old-spec range in the stats
+    map (old-spec keyrange reads still prune) and expose their
+    declared-stats range for the new spec first-class; post-evolution
+    commits cluster and record stats on the new column."""
+    loc = str(tmp_path / "tbl")
+
+    def src():
+        df = spark.range(40).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        df = df.withColumn("m", F.floor(F.col("k") / 10).cast("int"))
+        return df.withColumn("g", (F.col("k") % 2).cast("int"))
+
+    st.create_snapshot_table(
+        spark, loc, src, "m", "k", files=4, stats_cols=["g"]
+    )
+    pre_files = [e["path"] for e in st.load_manifest(loc, 0)["files"]]
+    v = st.evolve_partition_spec(spark, loc, "g")
+    assert v == 1
+    assert st.evolve_partition_spec(spark, loc, "g") == 1  # idempotent
+    m1 = st.load_manifest(loc, 1)
+    assert m1["part_col"] == "g"
+    assert m1["commit"]["op"] == "evolve_partition_spec"
+    assert [e["path"] for e in m1["files"]] == pre_files  # zero data moved
+    # old-spec pruning via migrated stats: m BETWEEN 0 AND 0 keeps <4 files
+    _m, kept = st.snapshot_files_keyrange(loc, 1, "m", 0, 0)
+    assert 0 < len(kept) < 4
+    # new-spec first-class range = the declared g stats ([0,1] everywhere)
+    assert all(e["min"] == 0 and e["max"] == 1 for e in m1["files"])
+    # a post-evolution append records g first-class and is prunable
+    add = spark.createDataFrame(
+        [(100 + i, f"n{i}", (100 + i) // 10, 7) for i in range(4)],
+        "k int, val string, m int, g int",
+    )
+    st.append_snapshot_commit(spark, loc, add, files=1, expected_parent=1)
+    _m, kept7 = st.snapshot_files_keyrange(loc, 2, "g", 7, 7)
+    assert len(kept7) == 1 and kept7[0]["min"] == 7
+    assert st.read_snapshot(spark, loc).count() == 44
+    # unknown column refused
+    with pytest.raises(ValueError):
+        st.evolve_partition_spec(spark, loc, "nope")
+
+
+def test_cursor_advance_and_branch_aba(spark, tmp_path):
+    """Consumer cursors (r10): numbered-entry CAS chain — a stale
+    entry token can NEVER advance (ABA-proof by construction), and
+    update_branch's optional expected_entry gives branches the same
+    guarantee (ADVICE r9: the value-only CAS is documented
+    monotone-only)."""
+    loc = _mk_table(spark, tmp_path)
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "A")]), ["k"], _part_of, touched=[0]
+    )
+    assert st.create_cursor(loc, "c", version=0) == 0
+    assert st.create_cursor(loc, "c", version=0) == 0  # idempotent
+    with pytest.raises(ValueError):
+        st.create_cursor(loc, "c", version=1)
+    k, pos = st.cursor_entry(loc, "c")
+    assert (k, pos) == (0, 0)
+    assert st.advance_cursor(loc, "c", 1, expected_entry=0)
+    assert st.cursor_entry(loc, "c") == (1, 1)
+    assert not st.advance_cursor(loc, "c", 1, expected_entry=0)  # stale
+    # branch ABA: head A -> B -> A; a mover holding the OLD entry token
+    # is refused even though the VALUE matches its expectation
+    st.create_branch(loc, "b", version=0)
+    st.update_branch(loc, "b", 1, expected_version=0)   # A -> B
+    st.update_branch(loc, "b", 0, expected_version=1)   # B -> A (entry 2)
+    assert st.branch_head(loc, "b") == 0
+    assert not st.update_branch(
+        loc, "b", 1, expected_version=0, expected_entry=0
+    )
+    assert st.update_branch(
+        loc, "b", 1, expected_version=0, expected_entry=2
+    )
+
+
+def test_catalog_atomic_pair(spark, tmp_path):
+    """Catalog manifest (r10): N version pointers published in ONE
+    link(2)-CAS entry — a reader resolving through the catalog can
+    never see a half-advanced pair; conditional commits and racing
+    publishers lose cleanly (None), never corrupt."""
+    cat = str(tmp_path / "cat")
+    assert st.catalog_latest(cat) is None
+    pair0 = {"a": {"version": 0}, "b": {"version": 0}}
+    assert st.catalog_commit(cat, pair0) == 0
+    # conditional CAS: stale expectation -> None, nothing published
+    assert st.catalog_commit(cat, pair0, expected_version=5) is None
+    pair1 = {"a": {"version": 1}, "b": {"version": 1}}
+    assert st.catalog_commit(cat, pair1, expected_version=0) == 1
+    # every retained entry is an internally-consistent pair
+    for v in (0, 1):
+        c = st.load_catalog(cat, version=v)
+        assert c["tables"]["a"]["version"] == c["tables"]["b"]["version"]
+    assert st.load_catalog(cat)["version"] == 1
+
+
+def test_apply_changes_replica_converges(spark, tmp_path):
+    """CDC apply (r10): latest-image-per-key reduction, upserts as one
+    idempotent merge, deletes as one equality-delete commit; re-apply
+    of the same range converges (the crash-between-apply-and-advance
+    case)."""
+    loc = _mk_table(spark, tmp_path)  # source, keys 0..39
+    replica = str(tmp_path / "rep")
+
+    def src():
+        return st.read_snapshot(spark, loc, version=0)
+
+    st.create_snapshot_table(spark, replica, src, "m", "k", files=4)
+    # a multi-commit range where one key is touched twice: the LATEST
+    # image must win (k=5 -> "B"), and a delete must erase k=9
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "A"), (101, "N1")]),
+        ["k"], _part_of, touched=[0, 10],
+    )
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "B")]), ["k"], _part_of, touched=[0]
+    )
+    st.delete_where_commit(spark, loc, 0, 0, row_pred=lambda df: F.col("k") == 9)
+    ch = st.read_changes(spark, loc, 0, 3, ["k"])
+    v = st.apply_changes_commit(spark, replica, ch, ["k"], _part_of, [0, 10])
+    want = _state(spark, loc, version=3)
+    assert _state(spark, replica) == want
+    # idempotent re-apply (same range) converges to the same state
+    st.apply_changes_commit(spark, replica, ch, ["k"], _part_of, [0, 10])
+    assert _state(spark, replica) == want and v >= 1
+
+
+def test_vacuum_keeps_change_files_and_pins_cursor(spark, tmp_path):
+    """Vacuum (r10 additions): a retained commit's materialized change
+    files survive (its CDF stays readable); a consumer CURSOR pins its
+    version like any ref; reads spanning a RETIRED version raise the
+    descriptive error, not a raw FileNotFoundError (ADVICE r9)."""
+    loc = str(tmp_path / "tbl")
+
+    def src():
+        df = spark.range(40).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        return df.withColumn("m", F.floor(F.col("k") / 10).cast("int"))
+
+    st.create_snapshot_table(spark, loc, src, "m", "k", files=4, cdf=True)
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "A")]), ["k"], _part_of, touched=[0]
+    )
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(6, "B")]), ["k"], _part_of, touched=[0]
+    )
+    st.create_cursor(loc, "c", version=1)
+    dropped_m, _df = st.vacuum_snapshot(loc, keep_latest=1)
+    # v1 pinned by the cursor, v2 by keep_latest; v0 retired
+    assert dropped_m == 1
+    ch = st.read_changes(spark, loc, 1, 2, ["k"]).collect()
+    assert {r["_change_type"] for r in ch} == {
+        "update_preimage", "update_postimage",
+    }
+    with pytest.raises(ValueError, match="retired by vacuum"):
+        st.read_changes(spark, loc, 0, 2, ["k"])
+    with pytest.raises(ValueError, match="retired by vacuum"):
+        st.incremental_entries(loc, 0, 1)
+
+
+def test_declared_cdf_keys_scan_materialized_changes(spark):
+    """The declared cdc/feed tables are cdf=True: their merge commits
+    carry materialized change files, and the declared CDF reads plan
+    as PLAIN SCANS — no join, no exchange (the digest diff the r9
+    keys paid at every read now happens once, at commit time)."""
+    from database_importer_spark.plans.part_a import _snap_loc
+
+    for key in ("table_changes_merge", "table_changes_feed"):
+        df = REGISTRY[key].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, key
+        assert "Join" not in plan, key
+    loc = _snap_loc(spark, SF, "cdc")
+    assert st.load_manifest(loc, 1)["changes"]
+
+
+def test_declared_partition_evolution_prunes_mixed_specs(spark):
+    """The declared spec-evolution key reads ONLY the post-evolution
+    appended files: every pre-evolution file prunes via its migrated
+    per-column year stats (inputFiles pin across the spec boundary)."""
+    from database_importer_spark.plans.part_a import _snap_loc
+
+    df = REGISTRY["table_partition_evolution"].fn(spark, SF)
+    loc = _snap_loc(spark, SF, "pspec")
+    n_total = len(st.load_manifest(loc, st.latest_version(loc))["files"])
+    assert len(df.inputFiles()) < n_total
+    added = {e["path"] for e in st.commit_added_entries(loc, 2)}
+    assert {os.path.relpath(p.removeprefix("file:"), loc) for p in df.inputFiles()} <= added
