@@ -65,6 +65,10 @@ HEADLINE = [
     "table_changes_merge",
     "table_changes_append",
     "table_changes_feed",
+    "table_changes_cursor",
+    "table_changes_replace",
+    "table_replace_overwrite",
+    "table_partition_evolution",
     "upsert_merge_commit_only",
     "table_branch_write_read",
     "table_branch_head_read",

