@@ -355,11 +355,15 @@ def _merge_cdf_frame(
     b = F.broadcast(batch.na.drop(subset=join_on))
     joined = base.alias("a").join(b.alias("b"), on=join_on, how="inner")
     # flat pre/post projection so part_of (which reads table column
-    # names) can derive the POST partition value from post columns
+    # names) can derive the POST partition value from post columns;
+    # post values cast to the table schema's types (no-op when equal)
+    # so the change files read back under the manifest schema exactly
     post_cols = []
     for c in data_cols:
         side = "b" if c in subset else "a"
-        post_cols.append(F.col(f"{side}.{c}").alias(c))
+        post_cols.append(
+            F.col(f"{side}.{c}").cast(schema[c].dataType).alias(c)
+        )
     flat = joined.select(
         *[F.col(f"a.{c}").alias(f"_pre_{c}") for c in data_cols],
         F.col(f"a.{part_col}").alias(f"_pre_{part_col}"),

@@ -773,13 +773,48 @@ def test_delete_mor_read_never_shuffles_data(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_changes_merge_diff_shuffles_digests_not_rows(spark):
-    """table_changes_merge: the multiset diff aggregates on
-    (xxhash64 digest, key) — the wide slice never shuffles as full
-    rows; the survivor fetch is a broadcast join, not an SMJ; the
-    only hash exchanges are the digest aggregation and the
-    |changes|-sized classification window."""
+def test_changes_merge_scans_materialized_change_files(spark):
+    """table_changes_merge (r10): the cdc table is cdf=True, so the
+    merge commit MATERIALIZED its row delta at write time and the
+    declared CDF read plans as a PLAIN SCAN of the change files —
+    zero exchange, zero join, no digest machinery (the diff the r9
+    key paid per read now happens once, at commit time)."""
     plan = physical(spark, "table_changes_merge")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_changes_diff_fallback_shuffles_digests_not_rows(spark, tmp_path):
+    """The read-time digest-diff FALLBACK (non-cdf tables / pre-r10
+    history): the multiset diff aggregates on (xxhash64 digest, key)
+    — the wide slice never shuffles as full rows; the survivor fetch
+    is a broadcast join, not an SMJ; the only hash exchanges are the
+    digest aggregation and the |changes|-sized classification
+    window."""
+    from pyspark.sql import functions as F
+
+    from database_importer_spark.operators import snapshot_table as st
+
+    loc = str(tmp_path / "tbl")
+
+    def src():
+        df = spark.range(40).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        return df.withColumn("m", F.floor(F.col("k") / 10).cast("int"))
+
+    st.create_snapshot_table(spark, loc, src, "m", "k", files=4)
+    st.merge_snapshot_commit(
+        spark,
+        loc,
+        spark.createDataFrame([(5, "UPD"), (105, "NEW")], "k int, val string"),
+        ["k"],
+        lambda df: F.floor(F.col("k") / 10).cast("int"),
+        touched=[0, 10],
+    )
+    df = st.read_changes(spark, loc, 0, 1, ["k"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan

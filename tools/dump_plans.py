@@ -60,9 +60,13 @@ ANNOTATED = {
     "table_snapshot_prune_read": "Manifest file pruning (r8): the scan's file list is resolved driver-side from the snapshot manifest's per-file partition min/max — the engine receives 1-2 files of the month, not the table; the residual exact filter trims range-boundary files.",
     "table_delete_mor": "Merge-on-read equality delete (r8): the final-state read applies the delete file as a BROADCAST left-anti join on the key — the 15M-row data side never shuffles; files newer than every delete (seq) scan with no anti-join at all.",
     "table_incremental_read": "Incremental append scan (r8): the scan's file list is the MANIFEST DIFF of the version range — only the files the append commits added; untouched history is never listed, so catch-up cost is ∝ delta, not table.",
-    "table_changes_merge": "Change data feed of a MERGE commit (r8): removed+added files (manifest diff, bounded by the touched slice) union with a ±1 side marker; the diff shuffle carries ONLY (xxhash64 digest, key, side) — net≠0 survivors are |changes|-sized, fetched by an AQE-broadcast join and window-classified per key.",
+    "table_changes_merge": "Change data feed of a MERGE commit (r10): the cdc table is cdf=True, so the commit MATERIALIZED its row delta as change files at write time — the read is a PLAIN SCAN of them plus a literal version column: zero Exchange, zero Join (the r8/r9 digest diff remains as the fallback for non-cdf commits and is plan-pinned in tests).",
     "table_point_lookup_pruned": "Secondary-key file pruning (r9): the scan's file list is pruned DRIVER-SIDE by the manifest's per-column key stats (Iceberg per-column stats on a key-clustered sort order) — 1-2 of 64 files reach the engine; the BETWEEN residual is pushed to the scan and row-group-prunes inside them. Zero Exchange.",
     "table_changes_append": "CDF degenerate fast path (r9): a pure-append step plans as a PLAIN SCAN of the commit's added files plus literal insert/version columns — no diff, no join, no Exchange; the append-dominated production feed costs exactly the incremental scan.",
+    "table_changes_cursor": "CDF subscribe/resume (r10), converged warm path: cursor and catalog resolve driver-side from tiny ref/manifest json; the returned frame is the replica's immutable head read — a plain manifest-listed scan, zero Exchange (the apply itself is the merge keys' broadcast shape and runs once per change range).",
+    "table_changes_replace": "CDF over a REPLACE commit (r10): drop+insert by op-tag contract — old files scan as 'delete' rows, new files as 'insert' rows, a two-armed union of plain scans with literal columns; no diff machinery (diffing a replace WOULD be a table scan).",
+    "table_partition_evolution": "Partition-spec evolution (r10): the read plans over the manifest-pruned file list ACROSS the spec boundary (old files prune via migrated per-column stats, new files via first-class year stats) — a plain pruned scan plus the residual year filter; the evolution commit itself is pure metadata.",
+    "table_replace_overwrite": "Atomic full-content REPLACE (r10): the post-replace read is a plain scan of the replacement files only — parents left the manifest by identity; zero Exchange.",
 }
 
 
