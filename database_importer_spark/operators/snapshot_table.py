@@ -1923,22 +1923,44 @@ def resolve_ref(loc: str, name: str) -> int:
     return branch_head(loc, name)
 
 
-def delete_ref(loc: str, name: str) -> bool:
-    """Remove a named ref — a tag, or a branch with its whole entry
-    chain. Returns True if it existed. Deleting a ref releases its
-    retention pin: the next vacuum may retire the version it
-    referenced (the tag lifecycle's other half — 'train' tags are
-    forever only until the run is decommissioned)."""
+def delete_ref(loc: str, name: str, kind: str | None = None) -> bool:
+    """Remove a named ref — a tag, a branch, or a consumer cursor
+    (with its whole entry chain). Returns True if it existed. Deleting
+    a ref releases its retention pin: the next vacuum may retire the
+    version it referenced (the tag lifecycle's other half — 'train'
+    tags are forever only until the run is decommissioned).
+
+    ``kind`` ∈ {"tag", "branch", "cursor"} scopes the delete to one
+    namespace. Ref namespaces are independent, so a name can exist in
+    several at once; deleting "the first match" would silently remove
+    the wrong retention pin (ADVICE r10) — when ``kind`` is omitted
+    and the name is ambiguous, this raises instead of guessing."""
+    kinds = {"tag": None, "branch": "heads", "cursor": "cursors"}
+    if kind is not None and kind not in kinds:
+        raise ValueError(f"delete_ref: unknown ref kind {kind!r}")
     tag = os.path.join(_refs_dir(loc, "tags"), f"{name}.json")
+    hits = []
     if os.path.exists(tag):
+        hits.append("tag")
+    for k, d in (("branch", "heads"), ("cursor", "cursors")):
+        if os.path.isdir(os.path.join(_refs_dir(loc, d), name)):
+            hits.append(k)
+    if kind is None:
+        if len(hits) > 1:
+            raise ValueError(
+                f"delete_ref: {name!r} names {hits} at {loc} — pass "
+                f"kind= to disambiguate"
+            )
+        if not hits:
+            return False
+        kind = hits[0]
+    elif kind not in hits:
+        return False
+    if kind == "tag":
         os.unlink(tag)
-        return True
-    for kind in ("heads", "cursors"):
-        d = os.path.join(_refs_dir(loc, kind), name)
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-            return True
-    return False
+    else:
+        shutil.rmtree(os.path.join(_refs_dir(loc, kinds[kind]), name))
+    return True
 
 
 def _ref_versions(loc: str) -> set[int]:
@@ -2018,6 +2040,7 @@ def apply_changes_commit(
     key_cols: list[str],
     part_of,
     touched: list,
+    range_tag: str | None = None,
 ) -> int:
     """Apply a CHANGE DATA FEED range to a REPLICA snapshot table —
     the standard CDC-apply consumer (Delta's APPLY CHANGES): reduce
@@ -2034,12 +2057,22 @@ def apply_changes_commit(
     The two ``isEmpty`` probes are bounded by |changes| — the frame a
     CDF consumer holds by definition (commit-bounded, never |table|);
     Merger refuses empty batches, so a deletes-only or upserts-only
-    range must skip the other arm. Returns the replica's new head
+    range must skip the other arm. ``range_tag`` (ADVICE r10) names
+    the change RANGE's identity (e.g. ``f"{loc}:{from_v}->{to_v}"``):
+    it is forwarded to the delete arm's applied-tag skip, so a
+    crash-replay of the same range converges WITHOUT stacking a fresh
+    equality-delete file per replay (the merge arm is already
+    idempotent by absolute values). Returns the replica's new head
     version."""
     from pyspark.sql import Window
 
+    # Full-tiebreak rule (ADVICE r10): a REPLACE-step CDF range emits
+    # delete + insert for a SURVIVING key at the SAME _commit_version
+    # (drop+insert semantics) — at equal version the new content must
+    # win deterministically, so non-delete rows rank above delete.
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col("_commit_version").desc()
+        F.col("_commit_version").desc(),
+        (F.col(_CHANGE_TYPE_COL) == "delete").cast("int").asc(),
     )
     latest = (
         changes.filter(F.col(_CHANGE_TYPE_COL) != "update_preimage")
@@ -2066,7 +2099,7 @@ def apply_changes_commit(
             spark, loc, ups, key_cols, part_of, touched
         )
     if not dels.isEmpty():
-        v = delete_keys_commit(spark, loc, dels, key_cols)
+        v = delete_keys_commit(spark, loc, dels, key_cols, tag=range_tag)
     return v
 
 

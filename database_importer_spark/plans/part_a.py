@@ -699,14 +699,42 @@ def upsert_merge_partitioned(spark, sf_dir):
 # comparable in BASELINE.md.
 
 
+# Creation contract per declared snapshot table: (v0 files fan-out,
+# cdf materialization). AUTHORITATIVE — _snap_loc folds the token into
+# the directory name (ADVICE r10: flipping a table's creation params
+# must mint a FRESH table, never silently reuse a stale one under the
+# create-once contract; the manual dbis_snap_* deletion gotcha class
+# dies here), and the creation sites assert their params against it.
+_SNAP_CONTRACT = {
+    "upsert": (16, False),
+    "inc": (16, False),
+    "feed": (72, True),
+    "replica": (16, False),
+    "pspec": (16, False),
+    "ptl": (64, False),
+    "ref": (16, False),
+    "delw": (16, False),
+    "dv": (16, False),
+    "cdc": (16, True),
+    "repl": (16, False),
+    "cm": (84, False),
+}
+
+
+def _snap_contract_token(name):
+    files, cdf = _SNAP_CONTRACT[name]
+    return f"f{files}" + ("c" if cdf else "")
+
+
 def _snap_loc(spark, sf_dir, name="upsert"):
-    """Table root: warehouse + corpus fingerprint. SHARED across
-    processes — snapshot isolation plus optimistic commits make a
-    shared mutable table safe (the dynamic-overwrite live table had to
-    be process-scoped precisely because its commit deletes files under
-    concurrent readers; the manifest protocol removes that class), and
-    idempotent merge content means any interleaving of writers
-    converges to the same state."""
+    """Table root: warehouse + corpus fingerprint + creation-contract
+    token. SHARED across processes — snapshot isolation plus
+    optimistic commits make a shared mutable table safe (the
+    dynamic-overwrite live table had to be process-scoped precisely
+    because its commit deletes files under concurrent readers; the
+    manifest protocol removes that class), and idempotent merge
+    content means any interleaving of writers converges to the same
+    state."""
     import os
 
     p = os.path.join(sf_dir, "orders.parquet")
@@ -716,7 +744,8 @@ def _snap_loc(spark, sf_dir, name="upsert"):
         c if c.isalnum() else "_" for c in os.path.abspath(sf_dir)
     ).lower()
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    return os.path.join(wh, f"dbis_snap_{name}_{dir_tag}_{fp}")
+    token = _snap_contract_token(name)
+    return os.path.join(wh, f"dbis_snap_{name}_{dir_tag}_{fp}_{token}")
 
 
 def _snap_batch_touched(spark, sf_dir, loc):
@@ -1036,6 +1065,9 @@ def _snap_create_named(spark, sf_dir, name, files=16, cdf=False):
         create_snapshot_table,
     )
 
+    assert _SNAP_CONTRACT[name] == (files, cdf), (
+        f"creation params for {name!r} drifted from _SNAP_CONTRACT"
+    )
     loc = _snap_loc(spark, sf_dir, name)
 
     def src():
@@ -1461,7 +1493,8 @@ def table_changes_cursor(spark, sf_dir):
             ("table_changes_cursor", loc, pos, head),
         )
         rv = apply_changes_commit(
-            spark, rloc, ch, ["o_orderkey"], _pm_month_of, touched
+            spark, rloc, ch, ["o_orderkey"], _pm_month_of, touched,
+            range_tag=f"apply:{loc}:{pos}->{head}",
         )
         if advance_cursor(loc, "replica", head, expected_entry=entry_k):
             # the winning consumer publishes BOTH pointers atomically;

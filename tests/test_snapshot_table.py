@@ -1130,3 +1130,104 @@ def test_declared_partition_evolution_prunes_mixed_specs(spark):
     assert len(df.inputFiles()) < n_total
     added = {e["path"] for e in st.commit_added_entries(loc, 2)}
     assert {os.path.relpath(p.removeprefix("file:"), loc) for p in df.inputFiles()} <= added
+
+
+def test_apply_changes_equal_version_delete_insert_tiebreak(spark, tmp_path):
+    """ADVICE r10 (medium): a REPLACE-step CDF range carries delete +
+    insert for a SURVIVING key at the SAME _commit_version; the apply
+    window must deterministically rank the new content above the
+    delete, never drop the key on a nondeterministic row_number tie."""
+    loc = _mk_table(spark, tmp_path)
+    replica = str(tmp_path / "rep")
+
+    def src():
+        return st.read_snapshot(spark, loc, version=0)
+
+    st.create_snapshot_table(spark, replica, src, "m", "k", files=4)
+    # REPLACE v0 content with keys 0..19 only, vals rewritten — the
+    # CDF emits delete+insert at version 1 for every surviving key
+    st.replace_snapshot_commit(
+        spark,
+        loc,
+        spark.range(20).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("R"), F.col("id")).alias("val"),
+            F.floor(F.col("id") / 10).cast("int").alias("m"),
+        ),
+    )
+    ch = st.read_changes(spark, loc, 0, 1, ["k"])
+    # sanity: the replace shape really is delete+insert at one version
+    kinds = {
+        (r["k"], r["_change_type"])
+        for r in ch.filter(F.col("k") == 3).collect()
+    }
+    assert kinds == {(3, "delete"), (3, "insert")}
+    for _ in range(3):  # repeat: ties must never flip
+        st.apply_changes_commit(spark, replica, ch, ["k"], _part_of, [0, 1])
+        got = _state(spark, replica)
+        assert set(got) == set(range(20))
+        assert got[3][0] == "R3"
+
+
+def test_apply_changes_range_tag_skips_replayed_delete(spark, tmp_path):
+    """ADVICE r10: a crash-replayed apply of the SAME range must not
+    stack a fresh equality-delete file per replay — the range_tag
+    routes through delete_keys_commit's applied-tag skip."""
+    loc = _mk_table(spark, tmp_path)
+    replica = str(tmp_path / "rep")
+
+    def src():
+        return st.read_snapshot(spark, loc, version=0)
+
+    st.create_snapshot_table(spark, replica, src, "m", "k", files=4)
+    st.delete_where_commit(spark, loc, 0, 0, row_pred=lambda df: F.col("k") == 9)
+    ch = st.read_changes(spark, loc, 0, 1, ["k"])
+    tag = f"apply:{loc}:0->1"
+    st.apply_changes_commit(
+        spark, replica, ch, ["k"], _part_of, [0], range_tag=tag
+    )
+    m1 = st.load_manifest(replica, st.latest_version(replica))
+    n1 = len(m1.get("deletes", []))
+    assert n1 == 1
+    # replay: content converges AND no new delete file lands
+    st.apply_changes_commit(
+        spark, replica, ch, ["k"], _part_of, [0], range_tag=tag
+    )
+    m2 = st.load_manifest(replica, st.latest_version(replica))
+    assert len(m2.get("deletes", [])) == n1
+    assert 9 not in _state(spark, replica)
+
+
+def test_delete_ref_kind_disambiguation(spark, tmp_path):
+    """ADVICE r10: a name living in several ref namespaces must not be
+    deleted by first-match guessing — ambiguous bare deletes raise,
+    kind-scoped deletes remove exactly the named namespace's ref."""
+    loc = _mk_table(spark, tmp_path)
+    st.create_tag(loc, "x", version=0)
+    st.create_cursor(loc, "x", version=0)
+    with pytest.raises(ValueError, match="kind="):
+        st.delete_ref(loc, "x")
+    assert st.delete_ref(loc, "x", kind="cursor")
+    assert not st.delete_ref(loc, "x", kind="cursor")  # gone
+    assert st.resolve_ref(loc, "x") == 0  # tag untouched
+    assert st.delete_ref(loc, "x")  # now unambiguous
+    assert not st.delete_ref(loc, "nope")
+    with pytest.raises(ValueError, match="unknown ref kind"):
+        st.delete_ref(loc, "x", kind="bogus")
+
+
+def test_snap_loc_contract_token_mints_fresh_table(spark):
+    """ADVICE r10: the declared tables' creation contract (files/cdf)
+    is part of the directory name — flipping a contract can never
+    silently reuse a stale table under the create-once rule."""
+    from database_importer_spark.plans.part_a import (
+        _SNAP_CONTRACT,
+        _snap_loc,
+    )
+
+    assert _snap_loc(spark, SF, "cdc").endswith("_f16c")
+    assert _snap_loc(spark, SF, "feed").endswith("_f72c")
+    assert _snap_loc(spark, SF, "ptl").endswith("_f64")
+    # every declared name resolves through the authoritative map
+    for name in _SNAP_CONTRACT:
+        assert f"_snap_{name}_" in _snap_loc(spark, SF, name)
