@@ -170,7 +170,6 @@ class Merger:
 
         self._target = target
         self._data_master = data
-        self._validate_anchor = validate_anchor
         self._keys = list(keys or [])
         self._broadcast = broadcast
         self._source_join_hint = source_join_hint
@@ -185,25 +184,36 @@ class Merger:
             subset = [c for c in data.columns if c not in self._join_on]
         self._subset = self._validate_subset(subset)
 
-        # the reference's _slice_data: project to join+subset, drop
-        # NULL-key rows (they can never match), in one lazy plan.
-        sliced = data.select(
-            *[_qcol(c).alias(c) for c in (*self._join_on, *self._subset)]
+        self._anchor_master = validate_anchor
+        self._slice_data()
+
+    def _slice_data(self) -> None:
+        """The reference's ``_slice_data`` (importer.py:253-260):
+        project the master source to the current join+subset columns
+        and drop NULL-key rows (they can never match), in one lazy
+        plan. Re-run by the ``join_on``/``subset`` setters so a
+        remapped Merger re-derives its update source exactly like the
+        reference re-analyzes on property assignment.
+
+        validate_anchor: a FILE-ANCHORED frame that is plan-equal to
+        ``data`` modulo checkpointing. A checkpointed source is a
+        LogicalRDD with no input files, so validate_unique_keys can
+        neither fingerprint it (memo) nor trust #id-stripped plan
+        equality (two different RDDs canonicalize alike). Callers
+        that checkpoint their staging batch pass the pre-checkpoint
+        plan; validation then runs (and memoizes) on the anchor
+        — same rows by construction, so the verdict transfers."""
+        cols = [
+            _qcol(c).alias(c) for c in (*self._join_on, *self._subset)
+        ]
+        self._data = self._data_master.select(*cols).na.drop(
+            subset=self._join_on
         )
-        self._data = sliced.na.drop(subset=self._join_on)
-        # validate_anchor: a FILE-ANCHORED frame that is plan-equal to
-        # ``data`` modulo checkpointing. A checkpointed source is a
-        # LogicalRDD with no input files, so validate_unique_keys can
-        # neither fingerprint it (memo) nor trust #id-stripped plan
-        # equality (two different RDDs canonicalize alike). Callers
-        # that checkpoint their staging batch pass the pre-checkpoint
-        # plan here; validation then runs (and memoizes) on the anchor
-        # — same rows by construction, so the verdict transfers.
-        if validate_anchor is not None:
-            a = validate_anchor.select(
-                *[_qcol(c).alias(c) for c in (*self._join_on, *self._subset)]
-            )
+        if self._anchor_master is not None:
+            a = self._anchor_master.select(*cols)
             self._validate_anchor = a.na.drop(subset=self._join_on)
+        else:
+            self._validate_anchor = None
 
     # --- validation (importer.py:141-251 parity) --------------------
 
@@ -303,9 +313,31 @@ class Merger:
     def join_on(self) -> list[str]:
         return list(self._join_on)
 
+    @join_on.setter
+    def join_on(self, columns: list[str]) -> None:
+        """Re-point the key mapping and RE-SLICE (importer.py:111-114:
+        the setter re-runs ``_slice_data``) — the update source is
+        re-derived lazily from the master frame, so the next merge
+        plan uses the new keys without constructing a new Merger. Like
+        the reference, this validates the new keys against the source
+        columns; the existing ``subset`` is kept as-is (assign it next
+        if the new keys overlap it — ``_validate_subset`` is the
+        overlap check's home in both implementations)."""
+        self._join_on = self._validate_join_on(list(columns))
+        self._slice_data()
+
     @property
     def subset(self) -> list[str]:
         return list(self._subset)
+
+    @subset.setter
+    def subset(self, columns: list[str]) -> None:
+        """Re-point the update-column set and RE-SLICE
+        (importer.py:120-123): full re-validation (presence in data,
+        no join-key overlap, presence in target), then the update
+        source re-derives from the master frame."""
+        self._subset = self._validate_subset(list(columns))
+        self._slice_data()
 
     @property
     def data(self) -> DataFrame:
