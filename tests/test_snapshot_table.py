@@ -1231,3 +1231,62 @@ def test_snap_loc_contract_token_mints_fresh_table(spark):
     # every declared name resolves through the authoritative map
     for name in _SNAP_CONTRACT:
         assert f"_snap_{name}_" in _snap_loc(spark, SF, name)
+
+
+def test_catalog_txn_two_process_race(spark, tmp_path):
+    """VERDICT r10 item 1 (the race half): two processes run the
+    multi-table transaction end-to-end against a FRESH corpus copy
+    (fresh fingerprint → fresh tables, so creation, both merges, and
+    the catalog publish all race for real). Every step is CAS-guarded,
+    so both must return the identical consistent result and EXACTLY
+    ONE catalog entry may land."""
+    import shutil as _sh
+    import subprocess
+
+    src_sf = SF
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for n in os.listdir(src_sf):
+        if n.endswith(".parquet"):
+            _sh.copytree(
+                os.path.join(src_sf, n), os.path.join(sf, n)
+            ) if os.path.isdir(os.path.join(src_sf, n)) else _sh.copy2(
+                os.path.join(src_sf, n), os.path.join(sf, n)
+            )
+    prog = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from database_importer_spark.session import get_spark\n"
+        "from database_importer_spark.plans import REGISTRY\n"
+        "import hashlib\n"
+        f"spark = get_spark(app_name='race-' + sys.argv[1])\n"
+        f"df = REGISTRY['catalog_multi_table_txn'].fn(spark, {sf!r})\n"
+        "rows = sorted(tuple(str(v) for v in r) for r in df.collect())\n"
+        "print('HASH', len(rows), hashlib.md5(str(rows).encode()).hexdigest())\n"
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8", PYTHONPATH="/root/repo")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", prog, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    hashes = [
+        line for o in outs for line in o.splitlines() if line.startswith("HASH")
+    ]
+    assert len(hashes) == 2 and hashes[0] == hashes[1], hashes
+    # exactly one catalog entry landed
+    from database_importer_spark.plans.part_a import _snap_loc
+
+    cat_dir = os.path.join(_snap_loc(spark, sf, "catd") + "_cat", "_catalog")
+    entries = [n for n in os.listdir(cat_dir) if n.endswith(".json")]
+    assert entries == ["v00000000.json"], entries
+    # and it binds the deterministic chain heads (dv=1, sv=1)
+    c = st.load_catalog(_snap_loc(spark, sf, "catd") + "_cat")
+    assert c["tables"]["detail"]["version"] == 1
+    assert c["tables"]["summary"]["version"] == 1
