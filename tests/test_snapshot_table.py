@@ -1290,3 +1290,72 @@ def test_catalog_txn_two_process_race(spark, tmp_path):
     c = st.load_catalog(_snap_loc(spark, sf, "catd") + "_cat")
     assert c["tables"]["detail"]["version"] == 1
     assert c["tables"]["summary"]["version"] == 1
+
+
+def test_cursor_lag_report_metadata_only(spark, tmp_path):
+    """Lag metrics come from manifests alone: exact pending rows for
+    cdf merges and appends, maintenance commits free, None (not a
+    guess) for a pending commit whose CDF size needs a data diff."""
+    loc = str(tmp_path / "tbl")
+
+    def src():
+        df = spark.range(40).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        return df.withColumn("m", F.floor(F.col("k") / 10).cast("int"))
+
+    st.create_snapshot_table(spark, loc, src, "m", "k", files=4, cdf=True)
+    st.create_cursor(loc, "c0", version=0)
+    # v1: cdf merge (5 updates -> 10 change rows) ; v2: append (3 rows)
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(i, f"u{i}") for i in range(5)]),
+        ["k"], _part_of, touched=[0],
+    )
+    st.append_snapshot_commit(
+        spark,
+        loc,
+        spark.createDataFrame(
+            [(100 + i, f"a{i}", 10) for i in range(3)],
+            "k int, val string, m int",
+        ),
+    )
+    # v3: compaction — free by op-tag contract
+    st.compact_snapshot_commit(spark, loc, files=2)
+    (rep,) = st.cursor_lag_report(loc, ["c0"])
+    assert rep["versions_behind"] == 3
+    assert rep["pending_commits"] == 2
+    assert rep["pending_change_rows"] == 10 + 3
+    # caught-up consumer: all zeros
+    st.create_cursor(loc, "c1", version=3)
+    (rep1,) = st.cursor_lag_report(loc, ["c1"])
+    assert (
+        rep1["versions_behind"],
+        rep1["pending_commits"],
+        rep1["pending_change_rows"],
+    ) == (0, 0, 0)
+
+
+def test_cursor_lag_non_cdf_merge_reports_none(spark, tmp_path):
+    """A pending NON-cdf merge's change-row count would need the
+    digest diff — the report answers None, never a guess."""
+    loc = _mk_table(spark, tmp_path)  # cdf=False
+    st.create_cursor(loc, "c", version=0)
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(1, "u1")]), ["k"], _part_of, touched=[0]
+    )
+    (rep,) = st.cursor_lag_report(loc, ["c"])
+    assert rep["pending_commits"] == 1
+    assert rep["pending_change_rows"] is None
+
+
+def test_declared_cursor_lag_zero_io(spark):
+    """The declared lag key plans as a LocalTableScan over driver-side
+    manifest arithmetic — zero input files, no exchange."""
+    df = REGISTRY["table_cursor_lag"].fn(spark, SF)
+    assert df.inputFiles() == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # createDataFrame plans LocalTableScan (or Scan ExistingRDD under
+    # arrow): either way, a driver-local leaf — no file source at all
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
+    assert "Exchange" not in plan and "FileScan" not in plan
