@@ -1065,13 +1065,14 @@ def read_changes(
         if m["parent"] != v - 1:
             raise ValueError(f"broken version chain at v{v} in {loc}")
         op = m.get("commit", {}).get("op")
-        if op == "compact":
-            # compaction is content-preserving BY CONTRACT (the op tag
-            # is written only by compact_snapshot_commit, which reads
-            # and rewrites the same rows) — digest-diffing it would
-            # cost |table| to discover an empty delta (ADVICE r8).
-            # Skipping also keeps a post-MoR-delete compaction legal
-            # inside a range: its cleared delete list reflects
+        if op in ("compact", "compact_changes"):
+            # compaction (data OR change-file) is content-preserving
+            # BY CONTRACT (the op tags are written only by
+            # compact_snapshot_commit / compact_changes_commit, which
+            # read and rewrite the same rows) — digest-diffing it
+            # would cost |table| to discover an empty delta (ADVICE
+            # r8). Skipping also keeps a post-MoR-delete compaction
+            # legal inside a range: its cleared delete list reflects
             # materialized, not changed, rows.
             prev = m
             continue
@@ -1103,6 +1104,18 @@ def read_changes(
             steps.append(("diff", v, prev, removed, added))
         prev = m
 
+    # change-file consolidation (sidecar index): materialized steps
+    # covered by a consolidation entry read the ONE range-clustered
+    # file set instead of per-commit small files — newest covering
+    # entry wins, one scan per entry for all its covered versions.
+    cl = changelog_entries(loc)
+
+    def _covering_entry(v):
+        for e in reversed(cl):
+            if v in e["covers"]:
+                return e
+        return None
+
     def step_materialized(v, entries):
         ch_schema = T.StructType(
             [T.StructField(_CHANGE_TYPE_COL, T.StringType())]
@@ -1115,6 +1128,22 @@ def read_changes(
             _CHANGE_TYPE_COL,
             *out_cols,
             F.lit(v).cast("int").alias("_commit_version"),
+        )
+
+    def step_consolidated(entry, versions):
+        cch = T.StructType(
+            [T.StructField(_CHANGE_TYPE_COL, T.StringType())]
+            + list(schema.fields)
+            + [T.StructField("_commit_version", T.IntegerType())]
+        )
+        ch = spark.read.schema(cch).parquet(
+            *[os.path.join(loc, e["path"]) for e in entry["files"]]
+        )
+        # version filter reaches the scan: files are range-clustered
+        # and sorted on _commit_version, so subrange reads prune row
+        # groups via page stats
+        return ch.filter(F.col("_commit_version").isin(versions)).select(
+            _CHANGE_TYPE_COL, *out_cols, "_commit_version"
         )
 
     def step_replace(v, parent, m):
@@ -1217,7 +1246,18 @@ def read_changes(
         "replace": step_replace,
         "diff": step_changes,
     }
-    parts = [builders[s[0]](*s[1:]) for s in steps]
+    parts = []
+    grouped: dict[int, tuple[dict, list[int]]] = {}
+    for s in steps:
+        if s[0] == "materialized":
+            e = _covering_entry(s[1])
+            if e is not None:
+                g = grouped.setdefault(e["commit_version"], (e, []))
+                g[1].append(s[1])
+                continue
+        parts.append(builders[s[0]](*s[1:]))
+    for e, versions in grouped.values():
+        parts.append(step_consolidated(e, versions))
     return functools.reduce(DataFrame.unionAll, parts)
 
 
@@ -1550,6 +1590,172 @@ def compact_snapshot_commit(
     raise RuntimeError(
         f"snapshot compact on {loc}: lost the optimistic-commit race "
         f"{max_attempts} times"
+    )
+
+
+# --- change-file compaction (VERDICT r10 seed): many small per-commit
+# CDF files → one range-read-optimized change file set. A cdf table
+# accumulates one small change-file group per merge commit; a consumer
+# catching up over hundreds of commits would open hundreds of small
+# files. Consolidation is an op-tagged maintenance commit (like
+# OPTIMIZE) plus a link(2)-CAS SIDECAR INDEX entry — the sidecar is
+# what lets read_changes over an OLD range (which never walks the
+# compaction commit's manifest) discover the consolidated files.
+# read_changes results are byte-identical before/after by
+# construction: the consolidated rows are read from the change files
+# themselves, carrying their _commit_version as a physical column.
+
+
+def _changelog_dir(loc: str) -> str:
+    return os.path.join(loc, "_changelog")
+
+
+def changelog_entries(loc: str) -> list[dict]:
+    """All published change-file consolidation entries, oldest first."""
+    d = _changelog_dir(loc)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.startswith("e") and name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def _publish_changelog_entry(loc: str, entry: dict) -> None:
+    """Numbered link(2)-CAS publish into the sidecar index; losing the
+    number race just takes the next number (entries are additive —
+    read_changes prefers the newest covering entry)."""
+    d = _changelog_dir(loc)
+    os.makedirs(d, exist_ok=True)
+    while True:
+        n = len([x for x in os.listdir(d) if x.endswith(".json")])
+        final = os.path.join(d, f"e{n:08d}.json")
+        tmp = final + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+            return
+        except FileExistsError:
+            continue
+        finally:
+            os.unlink(tmp)
+
+
+def compact_changes_commit(
+    spark: SparkSession,
+    loc: str,
+    from_version: int,
+    to_version: int,
+    files: int = 1,
+    max_attempts: int = 5,
+    expected_parent: int | None = None,
+) -> int | None:
+    """Consolidate the MATERIALIZED change files of every commit in
+    (from_version, to_version] into ``files`` range-clustered parquet
+    files ordered by ``_commit_version`` — the change-data analogue of
+    OPTIMIZE. Only commits that materialized their delta are covered
+    (a pure append's CDF is already a plain scan of its added DATA
+    files: there is no small-file debt to retire and consolidating it
+    would duplicate table data into the change log); covered commits'
+    original change files stay owned by their manifests (vacuum is the
+    only deleter) — this is a READ optimization: a consumer catching
+    up over the range opens one clustered file set instead of one
+    file group per commit, and storage reclaim follows history
+    retirement as usual. Re-running the same consolidation converges
+    (an existing entry covering the same versions short-circuits);
+    racing compactors serialize on the manifest CAS like every writer.
+    Content-preserving by contract: the commit's op tag keeps
+    read_changes/lag accounting treating the STEP itself as free."""
+    for _ in range(max_attempts):
+        base_v = latest_version(loc)
+        if base_v is None:
+            raise FileNotFoundError(f"no snapshot table at {loc}")
+        if expected_parent is not None and base_v != expected_parent:
+            return None
+        if not 0 <= from_version <= to_version <= base_v:
+            raise ValueError(
+                f"bad compact_changes range v{from_version}..v{to_version}"
+            )
+        covered = []
+        for v in range(from_version + 1, to_version + 1):
+            mv = _load_manifest_retained(loc, v)
+            if mv.get("changes"):
+                covered.append((v, mv["changes"]))
+        if not covered:
+            return base_v
+        cover_versions = [v for v, _ in covered]
+        for e in changelog_entries(loc):
+            if set(cover_versions) <= set(e["covers"]):
+                return e["commit_version"]  # already consolidated
+        m = load_manifest(loc, base_v)
+        schema = T.StructType.fromJson(m["schema"])
+        ch_schema = T.StructType(
+            [T.StructField(_CHANGE_TYPE_COL, T.StringType())]
+            + list(schema.fields)
+        )
+        version = base_v + 1
+        out_dir = os.path.join(
+            loc, "data", f"cc{version:08d}_{os.getpid()}"
+        )
+        frames = [
+            spark.read.schema(ch_schema)
+            .parquet(*[os.path.join(loc, e["path"]) for e in entries])
+            .withColumn("_commit_version", F.lit(v).cast("int"))
+            for v, entries in covered
+        ]
+        allf = functools.reduce(
+            lambda a, b: a.unionByName(b), frames
+        )
+        # range-clustered by version: a consumer reading a subrange
+        # prunes whole row groups via the version column's page stats
+        (
+            allf.repartitionByRange(files, "_commit_version")
+            .sortWithinPartitions("_commit_version")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        entries_out = _change_file_entries(out_dir, loc)
+        manifest = {
+            "format": _FORMAT,
+            "version": version,
+            "parent": base_v,
+            "part_col": m["part_col"],
+            "schema": m["schema"],
+            "files": m["files"],
+            "deletes": _delete_entries(m),
+            "tags": _applied_tags(m),
+            "commit": {
+                "op": "compact_changes",
+                "from": from_version,
+                "to": to_version,
+                "covers": cover_versions,
+                "files": entries_out,
+            },
+        }
+        try:
+            _publish_manifest(loc, _carry_write_contract(manifest, m))
+        except FileExistsError:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            continue
+        _publish_changelog_entry(
+            loc,
+            {
+                "from": from_version,
+                "to": to_version,
+                "covers": cover_versions,
+                "files": entries_out,
+                "commit_version": version,
+            },
+        )
+        return version
+    raise RuntimeError(
+        f"change-file compaction on {loc}: lost the optimistic-commit "
+        f"race {max_attempts} times"
     )
 
 
@@ -2069,6 +2275,16 @@ def vacuum_snapshot(loc: str, keep_latest: int = 1) -> tuple[int, int]:
         live |= {e["path"] for e in _delete_entries(m)}
         # a retained commit's materialized change files stay readable
         live |= {e["path"] for e in m.get("changes", [])}
+        # a retained compaction commit owns its consolidated files
+        live |= {
+            e["path"]
+            for e in (m.get("commit") or {}).get("files", [])
+        }
+    # sidecar-indexed consolidated change files are retention pins
+    # while their entry exists (a consolidated feed stays readable like
+    # a tagged version; retire the entry to release them)
+    for e in changelog_entries(loc):
+        live |= {f["path"] for f in e["files"]}
     dropped_m = 0
     for v in range(0, latest + 1):
         if v in protected:

@@ -501,7 +501,8 @@ def _pm_month_of(df):
     )
 
 
-def _pm_batch_df(spark, sf_dir):
+def _pm_batch_df(spark, sf_dir, lo=_PM_MONTH_LO, hi=_PM_MONTH_HI,
+                 ins_date=_PM_INS_DATE):
     """Month-scoped update ∪ insert batch, carrying o_orderdate so
     every row maps to its target partition (merge contract). Values
     are ABSOLUTE (orig + 10.0 from the immutable source parquet, not
@@ -525,8 +526,8 @@ def _pm_batch_df(spark, sf_dir):
 
     o = t(spark, sf_dir, "orders")
     in_month = (
-        F.col("o_orderdate") >= F.lit(_PM_MONTH_LO).cast("timestamp")
-    ) & (F.col("o_orderdate") < F.lit(_PM_MONTH_HI).cast("timestamp"))
+        F.col("o_orderdate") >= F.lit(lo).cast("timestamp")
+    ) & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
     base = o.filter(in_month & (F.col("o_orderkey") % 10 == 0))
     mx = footer_exact_max(_os.path.join(sf_dir, "orders.parquet"), "o_orderkey")
     if mx is not None:
@@ -535,10 +536,10 @@ def _pm_batch_df(spark, sf_dir):
         scalar = o.agg((F.max("o_orderkey") + F.lit(1)).alias("__key_base"))
         base = base.crossJoin(F.broadcast(scalar))
         key_base = F.col("__key_base")
-    return _pm_batch_core(base, key_base)
+    return _pm_batch_core(base, key_base, ins_date=ins_date)
 
 
-def _pm_batch_core(base, key_base):
+def _pm_batch_core(base, key_base, ins_date=_PM_INS_DATE):
     """The update∪insert struct-explode over a month-filtered %10 base
     scan (the r4 CDC single-scan pattern) — shared by the
     source-derived batch (_pm_batch_df) and the staging-derived batch
@@ -555,7 +556,7 @@ def _pm_batch_core(base, key_base):
             (F.col("o_orderkey") + key_base).alias("o_orderkey"),
             (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
             F.lit("N").alias("o_orderstatus"),
-            F.lit(_PM_INS_DATE).cast("timestamp").alias("o_orderdate"),
+            F.lit(ins_date).cast("timestamp").alias("o_orderdate"),
         ),
     )
     return base.select(
@@ -720,6 +721,7 @@ _SNAP_CONTRACT = {
     "cm": (84, False),
     "catd": (16, False),
     "cats": (4, False),
+    "feedc": (84, True),
 }
 
 
@@ -1163,27 +1165,32 @@ def table_delete_mor(spark, sf_dir):
     return read_snapshot(spark, loc).select(*_SNAP_OUT_COLS)
 
 
-def _merge_changes_sql(version: int) -> str:
+def _merge_changes_sql(version: int, lo=_PM_MONTH_LO, hi=_PM_MONTH_HI,
+                       ins_date=_PM_INS_DATE) -> str:
     """DuckDB SQL for the row-level changes the month-batch MERGE
     makes against a full-orders table state, tagged with the given
-    commit version — shared by the single-commit CDF key and the
-    multi-step feed key (whose merge lands at a different version)."""
+    commit version — shared by the single-commit CDF key, the
+    multi-step feed key (whose merge lands at a different version),
+    and the compacted-chain key (three different months). Month
+    batches touch disjoint key sets (updates are month-scoped source
+    keys, inserts are above the global max), so each commit's change
+    set derives from the ORIGINAL source regardless of merge order."""
     return f"""
     WITH u AS (
         SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
                'U' AS o_orderstatus, o_orderdate
         FROM orders
-        WHERE o_orderdate >= TIMESTAMP '{_PM_MONTH_LO}'
-          AND o_orderdate <  TIMESTAMP '{_PM_MONTH_HI}'
+        WHERE o_orderdate >= TIMESTAMP '{lo}'
+          AND o_orderdate <  TIMESTAMP '{hi}'
           AND o_orderkey % 10 = 0
     ), s AS (
         SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders)
                    AS o_orderkey,
                o_totalprice + 10.0 AS o_totalprice, 'N' AS o_orderstatus,
-               TIMESTAMP '{_PM_INS_DATE}' AS o_orderdate
+               TIMESTAMP '{ins_date}' AS o_orderdate
         FROM orders
-        WHERE o_orderdate >= TIMESTAMP '{_PM_MONTH_LO}'
-          AND o_orderdate <  TIMESTAMP '{_PM_MONTH_HI}'
+        WHERE o_orderdate >= TIMESTAMP '{lo}'
+          AND o_orderdate <  TIMESTAMP '{hi}'
           AND o_orderkey % 100 = 0
     )
     SELECT 'update_preimage' AS _change_type, a.o_orderkey, a.o_custkey,
@@ -1595,6 +1602,74 @@ def table_cursor_lag(spark, sf_dir):
         "consumer string, position int, head int, versions_behind int, "
         "pending_commits int, pending_change_rows bigint",
     )
+
+
+_CC_MONTHS = [
+    ("1997-01-01", "1997-02-01", "1997-01-15"),
+    ("1997-02-01", "1997-03-01", "1997-02-15"),
+    ("1997-03-01", "1997-04-01", "1997-03-15"),
+]
+
+
+def _feedc_table(spark, sf_dir):
+    """The change-file-compaction fixture: a cdf table accumulating
+    one materialized change-file group per commit — v1/v2/v3 = three
+    month-batch merges (disjoint key sets), v4 = compact_changes over
+    the whole range. Every step expected_parent-guarded: N racing
+    processes build this exact chain once. Returns (loc, head=4)."""
+    from database_importer_spark.operators.snapshot_table import (
+        compact_changes_commit,
+        latest_version,
+        merge_snapshot_commit,
+    )
+
+    loc = _snap_create_named(spark, sf_dir, "feedc", files=84, cdf=True)
+    for i, (lo, hi, ins) in enumerate(_CC_MONTHS):
+        if latest_version(loc) == i:
+            batch = _pm_batch_df(spark, sf_dir, lo, hi, ins)
+            month = int(lo[:4]) * 100 + int(lo[5:7])
+            merge_snapshot_commit(
+                spark, loc, batch, ["o_orderkey"], _pm_month_of,
+                [month], expected_parent=i,
+            )
+    if latest_version(loc) == 3:
+        compact_changes_commit(spark, loc, 0, 3, expected_parent=3)
+    return loc, 4
+
+
+@declare(
+    "table_changes_compacted",
+    oracle=" UNION ALL ".join(
+        f"SELECT * FROM ({_merge_changes_sql(i + 1, lo, hi, ins)}) m{i}"
+        for i, (lo, hi, ins) in enumerate(_CC_MONTHS)
+    ),
+)
+def table_changes_compacted(spark, sf_dir):
+    """CHANGE-FILE COMPACTION (VERDICT r10 seed): three cdf merge
+    commits each persisted their own small change-file group; an
+    op-tagged maintenance commit (compact_changes_commit — the
+    change-data analogue of OPTIMIZE) consolidated them into ONE
+    range-clustered file set ordered by _commit_version, indexed by a
+    link(2)-CAS sidecar entry so consumers reading OLD version ranges
+    (which never walk the compaction commit's manifest) still find
+    it. This read spans v0→v4: the three merge steps come back from
+    the consolidated files (inputFiles-pinned in tests — per-commit
+    small files are no longer opened), the compaction step itself is
+    skipped by the op-tag contract, and the result is byte-identical
+    to the pre-compaction feed by construction (the consolidated rows
+    were read from the change files themselves, version column
+    physical). At 100 TB this is the nightly maintenance that keeps a
+    long-lived CDF subscribable: a consumer catching up over hundreds
+    of commits opens one clustered file set, pruning its subrange via
+    the version column's page stats, instead of hundreds of small
+    per-commit file groups."""
+    from database_importer_spark.operators.snapshot_table import (
+        read_changes,
+    )
+
+    loc, head = _feedc_table(spark, sf_dir)
+    ch = read_changes(spark, loc, 0, head, ["o_orderkey"])
+    return ch.select("_change_type", *_SNAP_OUT_COLS, "_commit_version")
 
 
 # --- multi-table atomic catalog commit (VERDICT r10 item 1) -----------

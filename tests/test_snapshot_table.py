@@ -1359,3 +1359,100 @@ def test_declared_cursor_lag_zero_io(spark):
     # arrow): either way, a driver-local leaf — no file source at all
     assert "LocalTableScan" in plan or "ExistingRDD" in plan
     assert "Exchange" not in plan and "FileScan" not in plan
+
+
+def _cdf_chain(spark, tmp_path):
+    """cdf table with two materialized-merge commits (v1, v2)."""
+    loc = str(tmp_path / "tbl")
+
+    def src():
+        df = spark.range(40).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        return df.withColumn("m", F.floor(F.col("k") / 10).cast("int"))
+
+    st.create_snapshot_table(spark, loc, src, "m", "k", files=4, cdf=True)
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(1, "u1"), (101, "n1")]),
+        ["k"], _part_of, touched=[0, 10],
+    )
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(2, "u2"), (1, "u1b")]),
+        ["k"], _part_of, touched=[0],
+    )
+    return loc
+
+
+def _ch_rows(spark, loc, lo, hi):
+    return sorted(
+        tuple(r)
+        for r in st.read_changes(spark, loc, lo, hi, ["k"]).collect()
+    )
+
+
+def test_compact_changes_byte_identical_and_pruned(spark, tmp_path):
+    """Change-file compaction: read_changes over any subrange is
+    byte-identical before/after, and post-compaction reads open ONLY
+    the consolidated file set (never the per-commit small files)."""
+    loc = _cdf_chain(spark, tmp_path)
+    before_all = _ch_rows(spark, loc, 0, 2)
+    before_sub = _ch_rows(spark, loc, 1, 2)
+    v = st.compact_changes_commit(spark, loc, 0, 2)
+    assert v == 3
+    assert _ch_rows(spark, loc, 0, 3) == before_all  # incl. skip of v3
+    assert _ch_rows(spark, loc, 0, 2) == before_all
+    assert _ch_rows(spark, loc, 1, 2) == before_sub  # subrange filter
+    (entry,) = st.changelog_entries(loc)
+    cons = {f["path"] for f in entry["files"]}
+    got = {
+        os.path.relpath(p.removeprefix("file:"), loc)
+        for p in st.read_changes(spark, loc, 0, 2, ["k"]).inputFiles()
+    }
+    assert got == cons
+    # per-commit change files still owned by their manifests (vacuum
+    # is the only deleter) but no longer opened
+    assert st.load_manifest(loc, 1)["changes"]
+
+
+def test_compact_changes_idempotent_and_vacuum_safe(spark, tmp_path):
+    """Re-running the same consolidation converges without a new
+    commit or sidecar entry; vacuum keeps consolidated files live."""
+    loc = _cdf_chain(spark, tmp_path)
+    want = _ch_rows(spark, loc, 0, 2)
+    v = st.compact_changes_commit(spark, loc, 0, 2)
+    assert st.compact_changes_commit(spark, loc, 0, 2) == v
+    assert len(st.changelog_entries(loc)) == 1
+    assert st.latest_version(loc) == v
+    # vacuum retaining the range's manifests: consolidated read intact
+    st.vacuum_snapshot(loc, keep_latest=4)
+    assert _ch_rows(spark, loc, 0, 2) == want
+    # aggressive vacuum retires the range's MANIFESTS — the read then
+    # refuses descriptively (unchanged protocol), but the consolidated
+    # files themselves stay live (sidecar pin + retained commit)
+    st.vacuum_snapshot(loc, keep_latest=1)
+    with pytest.raises(ValueError, match="retired by vacuum"):
+        _ch_rows(spark, loc, 0, 2)
+    (entry,) = st.changelog_entries(loc)
+    for f in entry["files"]:
+        assert os.path.exists(os.path.join(loc, f["path"]))
+
+
+def test_declared_compacted_feed_scans_only_consolidated(spark):
+    """The declared compacted-chain key's merge steps come back from
+    the consolidated file set alone — the small-file class is gone."""
+    from database_importer_spark.plans.part_a import _snap_loc
+
+    df = REGISTRY["table_changes_compacted"].fn(spark, SF)
+    loc = _snap_loc(spark, SF, "feedc")
+    (entry,) = st.changelog_entries(loc)
+    cons = {f["path"] for f in entry["files"]}
+    got = {
+        os.path.relpath(p.removeprefix("file:"), loc)
+        for p in df.inputFiles()
+    }
+    assert got == cons
+    # and the step itself is free in lag accounting (op-tag contract)
+    st.create_cursor(loc, "lagprobe", version=3)
+    (rep,) = st.cursor_lag_report(loc, ["lagprobe"])
+    assert rep["pending_commits"] == 0 and rep["pending_change_rows"] == 0
