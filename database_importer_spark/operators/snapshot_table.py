@@ -513,8 +513,25 @@ def snapshot_files(
     """Resolve (manifest, absolute file paths) for a version, pruning
     files by partition-column values against the manifest's file-level
     min/max stats — metadata-only, before any engine listing or IO.
-    A file with absent stats is conservatively kept."""
-    m = load_manifest(loc, version)
+    A file with absent stats is conservatively kept. A version whose
+    manifest is gone reads descriptively: retired-by-vacuum when the
+    table exists and the version precedes its head (time travel to it
+    is permanently gone — that is what vacuum means), unknown-version
+    otherwise."""
+    try:
+        m = load_manifest(loc, version)
+    except FileNotFoundError:
+        head = latest_version(loc)
+        if head is not None and version < head:
+            raise ValueError(
+                f"version v{version} of {loc} was retired by vacuum — "
+                "time travel needs the version retained (tag it to pin "
+                "retention)"
+            ) from None
+        raise FileNotFoundError(
+            f"no version v{version} of snapshot table {loc}"
+            + ("" if head is None else f" (head is v{head})")
+        ) from None
     files = m["files"]
     if part_values is not None:
         vals = set(part_values)

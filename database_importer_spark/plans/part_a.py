@@ -1072,7 +1072,18 @@ def _snap_create_named(spark, sf_dir, name, files=16, cdf=False):
     assert _SNAP_CONTRACT[name] == (files, cdf), (
         f"creation params for {name!r} drifted from _SNAP_CONTRACT"
     )
-    loc = _snap_loc(spark, sf_dir, name)
+    return _snap_create_at(
+        spark, sf_dir, _snap_loc(spark, sf_dir, name), files=files, cdf=cdf
+    )
+
+
+def _snap_create_at(spark, sf_dir, loc, files=16, cdf=False):
+    """Create-once v0 = orders + o_month at an EXPLICIT location —
+    shared by the contract-named tables and the process-scoped ones
+    (vacuum demo) whose location is scratch-derived."""
+    from database_importer_spark.operators.snapshot_table import (
+        create_snapshot_table,
+    )
 
     def src():
         o = t(spark, sf_dir, "orders")
@@ -1670,6 +1681,64 @@ def table_changes_compacted(spark, sf_dir):
     loc, head = _feedc_table(spark, sf_dir)
     ch = read_changes(spark, loc, 0, head, ["o_orderkey"])
     return ch.select("_change_type", *_SNAP_OUT_COLS, "_commit_version")
+
+
+@declare(
+    "table_vacuum_retention",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def table_vacuum_retention(spark, sf_dir):
+    """VACUUM with a RETENTION POLICY (VERDICT r10 item 5): keep the
+    last N versions plus every ref-pinned one, physically retire the
+    rest. The chain is v0 (tagged 'audit_v0') → v1 month-batch merge →
+    v2 idempotent re-merge (same batch: same content, fresh files —
+    v1's rewritten slice becomes unreferenced history). vacuum
+    keep_latest=1 then retires v1: its manifest goes, its unique data
+    files are deleted, and a direct read of v1 fails DESCRIPTIVELY
+    ('retired by vacuum', unit-pinned — never a raw internal-path
+    FileNotFoundError), while the TAG keeps v0 byte-exact forever —
+    returned here and hash-matched against the untouched source,
+    which is the retention contract's two halves in one result: what
+    the policy keeps stays perfect, what it retires says so.
+
+    The table is PROCESS-SCOPED (scratch-dir class, dead-pid GC'd):
+    vacuum DELETES files, so a shared mutable table would reintroduce
+    the FAILED_READ_FILE class the snapshot protocol exists to
+    prevent — exactly why real lakehouses require a retention window
+    longer than any concurrent reader. The shared declared tables
+    never vacuum mid-sweep; this key owns its table so the deletion
+    path is exercised for real without racing peers."""
+    from database_importer_spark.operators.snapshot_table import (
+        create_tag,
+        latest_version,
+        merge_snapshot_commit,
+        read_snapshot,
+        vacuum_snapshot,
+    )
+    from database_importer_spark.scratch import scratch_dir
+    import os
+
+    st_ = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    loc = os.path.join(
+        scratch_dir(f"vret_{st_.st_size}_{st_.st_mtime_ns}"), "tbl"
+    )
+    _snap_create_at(spark, sf_dir, loc)
+    create_tag(loc, "audit_v0", version=0)
+    for parent in (0, 1):
+        if latest_version(loc) == parent:
+            batch, touched = _snap_batch_touched(spark, sf_dir, loc)
+            merge_snapshot_commit(
+                spark, loc, batch, ["o_orderkey"], _pm_month_of,
+                touched, expected_parent=parent,
+            )
+    vacuum_snapshot(loc, keep_latest=1)
+    return read_snapshot(spark, loc, ref="audit_v0").select(
+        *_SNAP_OUT_COLS
+    )
 
 
 # --- multi-table atomic catalog commit (VERDICT r10 item 1) -----------

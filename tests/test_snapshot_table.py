@@ -1456,3 +1456,50 @@ def test_declared_compacted_feed_scans_only_consolidated(spark):
     st.create_cursor(loc, "lagprobe", version=3)
     (rep,) = st.cursor_lag_report(loc, ["lagprobe"])
     assert rep["pending_commits"] == 0 and rep["pending_change_rows"] == 0
+
+
+def test_vacuum_retention_policy_and_descriptive_retired_read(
+    spark, tmp_path
+):
+    """Retention = keep_latest + ref pins: v1 (unpinned middle) is
+    physically retired — manifest gone, unique files deleted, direct
+    read fails DESCRIPTIVELY — while the tagged v0 stays byte-exact
+    and an unknown future version still reads as unknown, not
+    retired."""
+    loc = _mk_table(spark, tmp_path)
+    st.create_tag(loc, "audit", version=0)
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "A")]), ["k"], _part_of, touched=[0]
+    )
+    st.merge_snapshot_commit(
+        spark, loc, _batch(spark, [(5, "B")]), ["k"], _part_of, touched=[0]
+    )
+    v1_files = {e["path"] for e in st.load_manifest(loc, 1)["files"]}
+    v2_files = {e["path"] for e in st.load_manifest(loc, 2)["files"]}
+    dropped_m, dropped_f = st.vacuum_snapshot(loc, keep_latest=1)
+    assert dropped_m == 1 and dropped_f >= 1  # v1 retired, v0 tagged
+    for p in v1_files - v2_files - {
+        e["path"] for e in st.load_manifest(loc, 0)["files"]
+    }:
+        assert not os.path.exists(os.path.join(loc, p))
+    with pytest.raises(ValueError, match="retired by vacuum"):
+        st.read_snapshot(spark, loc, version=1)
+    with pytest.raises(FileNotFoundError, match="no version v9"):
+        st.read_snapshot(spark, loc, version=9)
+    assert _state(spark, loc, version=0)[5] == ("v5", 0)  # tag pin
+    assert _state(spark, loc)[5] == ("B", 0)  # head intact
+    # re-vacuum converges: nothing further to retire
+    assert st.vacuum_snapshot(loc, keep_latest=1) == (0, 0)
+
+
+def test_declared_vacuum_retention_converges(spark):
+    """The declared key re-invokes cleanly after its own vacuum (the
+    guarded chain observes head v2 and skips; the tagged read stays
+    byte-stable), and its table is process-scoped."""
+    df1 = REGISTRY["table_vacuum_retention"].fn(spark, SF)
+    n1 = df1.count()
+    df2 = REGISTRY["table_vacuum_retention"].fn(spark, SF)
+    assert df2.count() == n1
+    assert f"dbis_scratch_p{os.getpid()}" in (
+        df2.inputFiles()[0] if df2.inputFiles() else ""
+    )
