@@ -39,6 +39,36 @@ def stream_tumbling_window(spark, sf_dir):
 
 
 @declare(
+    "stream_tumbling_multibatch",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_multibatch(spark, sf_dir):
+    """The tumbling aggregation replayed across >=4 MICRO-BATCHES
+    (VERDICT r10 item 6): the corpus streams as four time-ordered
+    slices, one per trigger, so the watermark advances at every batch
+    boundary and window state CARRIES ACROSS batches through the real
+    state store (each batch re-opens, updates, and commits the stores
+    the previous batch wrote) instead of the single-batch replay's
+    one-shot pass. Same exact oracle as the single-batch twin — a
+    stream run to completion must not care how its input was batched
+    — plus a structural pin that >=4 data micro-batches actually ran
+    (run_bounded raises otherwise, on every invocation including the
+    sweeps). At 100 TB this IS the shape of a production backfill:
+    hours of files replayed trigger by trigger against durable state,
+    not one giant batch."""
+    spark = static_plan_session(spark)
+    ev = W.read_events_stream_sliced(spark, sf_dir, slices=4)
+    return W.run_bounded(
+        W.tumbling_counts(ev), "complete", expect_min_batches=4
+    )
+
+
+@declare(
     "stream_sliding_window",
     oracle="""
     SELECT time_bucket(INTERVAL '15 minutes', ts)
@@ -219,7 +249,8 @@ def stream_snapshot_ingest(spark, sf_dir):
     _snap_create(spark, sf_dir, loc)
     batch, _touched = _snap_batch_touched(spark, sf_dir, loc)
     streaming_snapshot_ingest(
-        spark, loc, batch, ["o_orderkey"], _pm_month_of, batches=4
+        spark, loc, batch, ["o_orderkey"], _pm_month_of, batches=4,
+        cursor="ingest",
     )
     return read_snapshot(spark, loc).select(*_SNAP_OUT_COLS)
 

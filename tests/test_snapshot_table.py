@@ -241,18 +241,25 @@ def test_streaming_ingest_commits_per_micro_batch(spark, tmp_path):
     loc = _mk_table(spark, tmp_path)
     src = _batch(spark, [(5, "S5"), (15, "S15"), (105, "S105"), (205, "S205")])
     versions = streaming_snapshot_ingest(
-        spark, loc, src, ["k"], _part_of, batches=2
+        spark, loc, src, ["k"], _part_of, batches=2, cursor="ing"
     )
     assert versions == [1, 2]
     got = _state(spark, loc)
     assert got[5] == ("S5", 0) and got[205] == ("S205", 20)
     assert len(got) == 42
+    # the ingest's cursor advanced PER BATCH: one entry per commit,
+    # resting at the head — lag report reads caught-up
+    entry_k, pos = st.cursor_entry(loc, "ing")
+    assert pos == 2 and entry_k == 2  # created at 0, advanced twice
+    (rep,) = st.cursor_lag_report(loc, ["ing"])
+    assert rep["versions_behind"] == 0
     # replay: same source streamed again (fresh checkpoint) converges
     versions2 = streaming_snapshot_ingest(
-        spark, loc, src, ["k"], _part_of, batches=2
+        spark, loc, src, ["k"], _part_of, batches=2, cursor="ing"
     )
     assert versions2 == [3, 4]
     assert _state(spark, loc) == got
+    assert st.cursor_entry(loc, "ing")[1] == 4
 
 
 def _data_files_on_disk(loc):

@@ -110,3 +110,65 @@ def test_streaming_upsert_equals_batch_merge(spark, sf_dir):
     )
     key = lambda r: r["o_orderkey"]
     assert sorted(streamed.collect(), key=key) == sorted(batch.collect(), key=key)
+
+
+def test_multibatch_replay_advances_watermark_and_evicts(spark, sf_dir):
+    """The sliced replay (VERDICT r10 item 6) is REALLY multi-batch:
+    >=4 data micro-batches, watermark advancing across batch
+    boundaries, and — under append mode — state EVICTED mid-stream as
+    windows close (the cross-batch behavior a single-directory replay
+    can never exercise). Emission completeness at the stream's tail is
+    timing-class (the late-data key's rows-only territory), so this
+    pins structure and eviction, not the final append row set."""
+    import shutil
+    import uuid
+
+    ev = W.read_events_stream_sliced(spark, sf_dir, slices=4)
+    agg = W.tumbling_counts(ev)
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    ckpt = W._scratch_checkpoint_dir(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(progress) >= 4
+        # watermark advanced across batches (strictly increasing
+        # somewhere, not one terminal jump)
+        wms = [
+            p["eventTime"].get("watermark")
+            for p in q.recentProgress
+            if p.get("eventTime")
+        ]
+        wms = [w for w in wms if w and not w.startswith("1970")]
+        assert len(set(wms)) >= 2
+        # state rows were EVICTED mid-stream (closed windows emitted
+        # and removed before the final batch)
+        removed = sum(
+            op.get("numRowsRemoved", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        assert removed > 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_run_bounded_min_batches_pin(spark, sf_dir):
+    """expect_min_batches catches a replay silently collapsing to one
+    micro-batch."""
+    with pytest.raises(AssertionError, match="micro-batches"):
+        W.run_bounded(
+            W.tumbling_counts(W.read_events_stream(spark, sf_dir)),
+            "complete",
+            expect_min_batches=4,
+        )
