@@ -874,6 +874,95 @@ def join_skew_salted(spark, sf_dir):
 
 
 @declare(
+    "join_skew_aqe",
+    oracle="""
+    WITH f AS (
+        SELECT CASE WHEN l_orderkey % 5 <> 0 THEN 0
+                    ELSE l_orderkey END AS hot,
+               l_extendedprice, l_returnflag
+        FROM lineitem
+    ), d AS (
+        SELECT o_orderkey AS hot,
+               CAST(o_orderkey % 7 + 1 AS DOUBLE) AS w
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL SELECT 0, 1.0
+    )
+    SELECT f.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(f.l_extendedprice * d.w AS DECIMAL(25,4)))
+                AS DOUBLE) AS weighted_sum
+    FROM f JOIN d ON f.hot = d.hot
+    GROUP BY f.l_returnflag
+    """,
+)
+def join_skew_aqe(spark, sf_dir):
+    """AQE SKEW-SPLIT at data volume (carried since r3; the runtime
+    half of the skew story next to join_skew_salted's static salt):
+    80%% of lineitem maps to ONE hot join key (orderkeys not divisible
+    by 5 collapse to 0), joined to a non-broadcastable derived dim
+    (one row per surviving key + the hot key). Under a plain hash
+    shuffle the hot key's partition IS the job's wall clock — one
+    task sorts/joins 80%% of the fact. The dedicated
+    session.skew_plan_session disables broadcast (plan-time and AQE
+    runtime — a broadcast join would dissolve the demo's shuffle) and
+    sizes the skew thresholds so OptimizeSkewedJoin actually FIRES
+    from sf0.1 up: the hot partition splits into ~8 MB task slices,
+    each joined against a replicated copy of the dim's matching rows
+    — plan-pinned (skew=true in the final adaptive plan,
+    tests/test_plans.py) at sf0.1, the same mechanism that splits the
+    ~1 GB hot partition into ~128 tasks at sf10. Result is
+    skew-invariant (split+replicate preserves join semantics), so the
+    oracle is the plain join; sums accumulate DECIMAL(25,4) (term
+    magnitudes overflow the dec4 long path at sf10)."""
+    from database_importer_spark.session import skew_plan_session
+
+    spark = skew_plan_session(spark)
+    li = t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 5 != 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("l_orderkey"))
+        .alias("hot"),
+        "l_extendedprice",
+        "l_returnflag",
+    )
+    # AQE splits a skewed reduce partition at MAP-OUTPUT boundaries —
+    # a one-mapper shuffle (sf0.1's single-row-group file scans as ONE
+    # task) is structurally unsplittable however skewed. A real 100 TB
+    # scan has thousands of mappers; this round-robin fan-out models
+    # that mapper population so the demo exercises the same split the
+    # cluster would take. (At sf1+ the multi-row-group scan already
+    # provides the mappers; the explicit repartition keeps the key's
+    # behavior uniform across corpora.)
+    fact = fact.repartition(spark.sparkContext.defaultParallelism)
+    o = t(spark, sf_dir, "orders")
+    dim = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("hot"),
+            (F.col("o_orderkey") % 7 + 1).cast("double").alias("w"),
+        )
+        .unionAll(
+            spark.range(1).select(
+                F.lit(0).cast("bigint").alias("hot"),
+                F.lit(1.0).alias("w"),
+            )
+        )
+    )
+    return (
+        fact.join(dim, "hot")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * F.col("w")).cast(DEC)
+            )
+            .cast("double")
+            .alias("weighted_sum"),
+        )
+    )
+
+
+@declare(
     "scan_orc_roundtrip",
     oracle="""
     SELECT n_regionkey,

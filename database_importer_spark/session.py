@@ -182,6 +182,38 @@ def static_plan_session(spark: SparkSession) -> SparkSession:
     return child
 
 
+def skew_plan_session(spark: SparkSession) -> SparkSession:
+    """Child session for the AQE SKEW-SPLIT demonstration: broadcast
+    joins disabled (plan-time AND AQE runtime — a broadcastable dim
+    would dissolve the shuffle the demo exists to rescue) and the
+    skew thresholds sized so a deliberately hot key's partition
+    qualifies from sf0.1 up (512 KB threshold, factor 2; the sf0.1
+    hot partition is single-digit MB of compressed shuffle bytes)
+    while the 512 KB advisory split target keeps the split count sane
+    at sf10 (a hot partition of hundreds of MB splits into hundreds
+    of tasks, not thousands). Splits happen at map-output boundaries,
+    so the demo key fans its fact across the default parallelism
+    first — the mapper population a real multi-file scan has anyway. Everything else
+    inherits the engine defaults — this is the one-knob-set a real
+    cluster job would ship for a known-skewed shuffle join when the
+    dim genuinely cannot broadcast."""
+    cached = getattr(spark, "_dbis_skew_child", None)
+    if cached is not None:
+        return cached
+    child = spark.newSession()
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    child.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    child.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    child.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    child.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512k"
+    )
+    child.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+    child._dbis_skew_child = child
+    spark._dbis_skew_child = child
+    return child
+
+
 def pushdown_plan_session(spark: SparkSession) -> SparkSession:
     """Child session for footer-stats aggregates: the DataSource V2
     parquet reader with aggregate pushdown enabled, so a whole-table
