@@ -72,12 +72,16 @@ HEADLINE = [
     "upsert_merge_commit_only",
     "table_branch_write_read",
     "table_branch_head_read",
+    "catalog_multi_table_txn",
+    "table_changes_compacted",
+    "join_skew_aqe",
     "fn_math_core",
     "llm_dedup_exact",
     "llm_similarity_topk",
     "llm_text_tokenize_tf",
     "llm_fingerprint",
     "stream_tumbling_window",
+    "stream_tumbling_multibatch",
     "udf_pandas_vectorized",
 ]
 
