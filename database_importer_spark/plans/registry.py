@@ -86,6 +86,32 @@ def sql_view(spark: SparkSession, sf_dir: str, name: str) -> str:
     return vname
 
 
+def frame_cache(spark: SparkSession, sf_dir: str, name: str, build):
+    """Memoize a declared key's BUILT DataFrame per (key name, corpus
+    fingerprint) — the r9 point-lookup warm path generalized: a plan
+    over immutable parquet is itself immutable, so re-running the
+    builder only re-pays py4j/analysis construction (40-130 ms
+    measured on the window/agg shapes). Sound ONLY for builders that
+    are pure functions of the corpus (no mutable tables, no layout
+    side effects beyond their own memoized ensure_*); the fingerprint
+    covers every *.parquet in sf_dir so a regenerated corpus rebuilds.
+    The cache dies with the session (session_cache WeakKey)."""
+    cache = session_cache(spark, "declared_frames")
+    d = os.path.abspath(sf_dir)
+    fp = tuple(
+        (n, st.st_size, st.st_mtime_ns)
+        for n in sorted(os.listdir(d))
+        if n.endswith(".parquet")
+        for st in [os.stat(os.path.join(d, n))]
+    )
+    k = (name, d, fp)
+    df = cache.get(k)
+    if df is None:
+        df = build()
+        cache[k] = df
+    return df
+
+
 # Exact-decimal accumulation type for double aggregates: wide enough
 # that no testdata sum can overflow, scale 4 covers every source
 # column's printed precision. At 100 TB you would widen to (38,4).

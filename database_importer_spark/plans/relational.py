@@ -608,26 +608,30 @@ def agg_hash_groupby_double(spark, sf_dir):
     5.76 s decimal — the oracle tax fully refunded. Fixed shape →
     static-plan session. Declared as ONE spark.sql call (r6): the
     DataFrame chain costs ~100-300 ms of per-invocation py4j round
-    trips; same physical plan, bit-equal output."""
-    from database_importer_spark.plans.registry import sql_view
+    trips; same physical plan, bit-equal output. Frame-cached per
+    corpus fingerprint (r11 borderline-band constant shave)."""
+    from database_importer_spark.plans.registry import frame_cache, sql_view
 
-    spark = static_plan_session(spark)
-    v = sql_view(spark, sf_dir, "lineitem")
+    def build():
+        s = static_plan_session(spark)
+        v = sql_view(s, sf_dir, "lineitem")
 
-    def csum(expr):
-        return f"SUM(FLOOR(({expr}) * 100 + 0.5)) / 100"
+        def csum(expr):
+            return f"SUM(FLOOR(({expr}) * 100 + 0.5)) / 100"
 
-    return spark.sql(f"""
-        SELECT l_returnflag, l_linestatus,
-               {csum('l_quantity')} AS sum_qty,
-               {csum('l_extendedprice')} AS sum_base_price,
-               {csum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-               {csum('l_quantity')} / COUNT(*) AS avg_qty,
-               COUNT(*) AS count_order
-        FROM {v}
-        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
-        GROUP BY l_returnflag, l_linestatus
-    """)
+        return s.sql(f"""
+            SELECT l_returnflag, l_linestatus,
+                   {csum('l_quantity')} AS sum_qty,
+                   {csum('l_extendedprice')} AS sum_base_price,
+                   {csum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+                   {csum('l_quantity')} / COUNT(*) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM {v}
+            WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """)
+
+    return frame_cache(spark, sf_dir, "agg_hash_groupby_double", build)
 
 
 @declare(
