@@ -467,3 +467,37 @@ def test_setters_validate_like_constructor(spark, groceries):
         m.subset = ["size"]
     # failed assignments leave the mapping untouched
     assert m.join_on == ["id"] and m.subset == ["quantity"]
+
+
+def test_jdbc_dsn_registry(spark, tmp_path):
+    """Named JDBC DSN registry (window.py:201 pyodbc.dataSources()
+    parity): configure-once under a name, enumerate sorted, resolve
+    by name for the connector path; unknown names raise naming the
+    inventory. The Derby URL builder plugs straight in — the same
+    registry a deployment would load from config."""
+    from database_importer_spark.sources.jdbc_sink import derby_url
+    from database_importer_spark.sources.loader import (
+        _JDBC_DSNS,
+        jdbc_sources,
+        register_jdbc_source,
+        resolve_jdbc_source,
+    )
+
+    saved = dict(_JDBC_DSNS)
+    _JDBC_DSNS.clear()
+    try:
+        register_jdbc_source(
+            "warehouse", derby_url(str(tmp_path / "db"), create=True)
+        )
+        register_jdbc_source(
+            "reporting", "jdbc:postgresql://rpt/db", driver="org.postgresql.Driver"
+        )
+        assert list(jdbc_sources()) == ["reporting", "warehouse"]
+        assert jdbc_sources()["warehouse"].startswith("jdbc:derby:")
+        conn = resolve_jdbc_source("reporting")
+        assert conn["driver"] == "org.postgresql.Driver"
+        with pytest.raises(KeyError, match="reporting"):
+            resolve_jdbc_source("nope")
+    finally:
+        _JDBC_DSNS.clear()
+        _JDBC_DSNS.update(saved)
