@@ -918,9 +918,33 @@ def join_skew_aqe(spark, sf_dir):
     skew-invariant (split+replicate preserves join semantics), so the
     oracle is the plain join; sums accumulate DECIMAL(25,4) (term
     magnitudes overflow the dec4 long path at sf10)."""
+    import os as _os
+
     from database_importer_spark.session import skew_plan_session
 
     spark = skew_plan_session(spark)
+    # size the split target to the DATA, exactly like a real job: the
+    # advisory is the per-task slice the hot partition splits into —
+    # a fixed small value shatters a big corpus's hot partition into
+    # hundreds of micro-tasks (measured: 512k advisory at sf10 ⇒
+    # ~800 slices, scheduling-bound), a fixed big one never fires at
+    # small sf. lineitem_bytes/64 keeps ~a few dozen slices for the
+    # hot 80% at any scale, floored at 512k so sf0.1 still qualifies.
+    li_path = _os.path.join(sf_dir, "lineitem.parquet")
+    li_bytes = (
+        sum(
+            _os.path.getsize(_os.path.join(li_path, n))
+            for n in _os.listdir(li_path)
+        )
+        if _os.path.isdir(li_path)
+        else _os.path.getsize(li_path)
+    )
+    target = max(512 * 1024, li_bytes // 64)
+    for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ):
+        spark.conf.set(k, str(target))
     li = t(spark, sf_dir, "lineitem")
     fact = li.select(
         F.when(F.col("l_orderkey") % 5 != 0, F.lit(0).cast("bigint"))
@@ -932,12 +956,19 @@ def join_skew_aqe(spark, sf_dir):
     # AQE splits a skewed reduce partition at MAP-OUTPUT boundaries —
     # a one-mapper shuffle (sf0.1's single-row-group file scans as ONE
     # task) is structurally unsplittable however skewed. A real 100 TB
-    # scan has thousands of mappers; this round-robin fan-out models
-    # that mapper population so the demo exercises the same split the
-    # cluster would take. (At sf1+ the multi-row-group scan already
-    # provides the mappers; the explicit repartition keeps the key's
-    # behavior uniform across corpora.)
-    fact = fact.repartition(spark.sparkContext.defaultParallelism)
+    # scan has thousands of mappers; when the corpus is too small to
+    # provide them, a round-robin fan-out models that mapper
+    # population. When the scan already splits into many tasks (sf1+:
+    # multi-row-group files at 32 MB splits), the extra fact-sized
+    # shuffle would be pure waste — skip it.
+    mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes").lower()
+    max_pb = (
+        int(mpb_raw[:-1]) * 1024 * 1024
+        if mpb_raw.endswith("m")
+        else int(mpb_raw)
+    )
+    if li_bytes // max_pb < 8:
+        fact = fact.repartition(spark.sparkContext.defaultParallelism)
     o = t(spark, sf_dir, "orders")
     dim = (
         o.filter(F.col("o_orderkey") % 5 == 0)

@@ -186,14 +186,16 @@ def skew_plan_session(spark: SparkSession) -> SparkSession:
     """Child session for the AQE SKEW-SPLIT demonstration: broadcast
     joins disabled (plan-time AND AQE runtime — a broadcastable dim
     would dissolve the shuffle the demo exists to rescue) and the
-    skew thresholds sized so a deliberately hot key's partition
-    qualifies from sf0.1 up (512 KB threshold, factor 2; the sf0.1
-    hot partition is single-digit MB of compressed shuffle bytes)
-    while the 512 KB advisory split target keeps the split count sane
-    at sf10 (a hot partition of hundreds of MB splits into hundreds
-    of tasks, not thousands). Splits happen at map-output boundaries,
-    so the demo key fans its fact across the default parallelism
-    first — the mapper population a real multi-file scan has anyway. Everything else
+    skew thresholds set as session DEFAULTS (512 KB, factor 2) that
+    the demo key OVERRIDES per invocation with a data-sized target
+    (lineitem_bytes/64, floored at 512 KB): a fixed small advisory
+    shatters a big corpus's hot partition into hundreds of
+    micro-tasks (measured: 512 KB at sf10 = ~800 slices,
+    scheduling-bound, 7.7 s; data-sized = 5.1 s), a fixed big one
+    never fires at small sf. Splits happen at map-output boundaries,
+    so the key fans its fact across the default parallelism only
+    when the scan itself is single-digit-mapper (small corpora) —
+    at sf1+ the 32 MB file splits already provide the mappers. Everything else
     inherits the engine defaults — this is the one-knob-set a real
     cluster job would ship for a known-skewed shuffle join when the
     dim genuinely cannot broadcast."""
