@@ -67,6 +67,10 @@ ANNOTATED = {
     "table_changes_replace": "CDF over a REPLACE commit (r10): drop+insert by op-tag contract — old files scan as 'delete' rows, new files as 'insert' rows, a two-armed union of plain scans with literal columns; no diff machinery (diffing a replace WOULD be a table scan).",
     "table_partition_evolution": "Partition-spec evolution (r10): the read plans over the manifest-pruned file list ACROSS the spec boundary (old files prune via migrated per-column stats, new files via first-class year stats) — a plain pruned scan plus the residual year filter; the evolution commit itself is pure metadata.",
     "table_replace_overwrite": "Atomic full-content REPLACE (r10): the post-replace read is a plain scan of the replacement files only — parents left the manifest by identity; zero Exchange.",
+    "table_changes_compacted": "Change-file compaction (r11): the v0→v4 feed read resolves the sidecar changelog entry driver-side and plans ONE scan of the consolidated range-clustered file set (version filter pushed to the scan; per-commit small files never opened); the compaction step itself is skipped by op-tag contract.",
+    "table_cursor_lag": "Consumer-group lag metrics (r11): pure manifest arithmetic on the driver — the plan is a local scan of the computed rows; zero input files, zero Exchange, no job touches data at any table size.",
+    "catalog_multi_table_txn": "Multi-table catalog transaction (r11), converged read: catalog entry resolves driver-side; the consistency frame joins the summary table's manifest-listed scan to a rollup of the detail table's manifest-listed scan at the catalog-pinned versions — broadcastable 80-row summary side, partial+final agg on the detail.",
+    "join_skew_aqe": "AQE skew-split demo (r11): plan-time this is a plain SMJ on the deliberately hot key with broadcast disabled; AT RUNTIME AQE splits the hot partition at map-output boundaries into data-sized slices — SortMergeJoin(skew=true) appears in the FINAL adaptive plan (pinned by execution in tests/test_plans.py, not in this static dump).",
 }
 
 
