@@ -72,6 +72,7 @@ def agg_events_value_rollup(spark, sf_dir):
 
 @declare(
     "agg_events_rollup_partitioned",
+    cache_frame=True,
     oracle="""
     SELECT event_type,
            strftime(ts, '%Y-%m-%d') AS day,

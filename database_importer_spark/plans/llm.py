@@ -28,6 +28,7 @@ from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
 
 @declare(
     "llm_dedup_exact",
+    cache_frame=True,
     oracle="""
     WITH docs AS (
         SELECT doc_id, text FROM documents
@@ -620,6 +621,7 @@ def llm_dedup_embedding(spark, sf_dir):
 
 @declare(
     "llm_similarity_topk",
+    cache_frame=True,
     oracle="""
     WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
     scored AS (
@@ -807,6 +809,7 @@ def llm_similarity_lsh(spark, sf_dir):
 
 @declare(
     "llm_text_tokenize_tf",
+    cache_frame=True,
     oracle="""
     WITH tf AS (
         SELECT t.term, CAST(COUNT(*) AS BIGINT) AS term_count
@@ -974,6 +977,7 @@ def llm_text_langid(spark, sf_dir):
 
 @declare(
     "llm_fingerprint",
+    cache_frame=True,
     oracle="""
     SELECT doc_id,
            CAST(list_sum(list_transform(generate_series(1, length(text)),

@@ -316,7 +316,7 @@ _UPSERT_ORACLE = f"""
     """
 
 
-@declare("upsert_merge_full", oracle=_UPSERT_ORACLE)
+@declare("upsert_merge_full", oracle=_UPSERT_ORACLE, cache_frame=True)
 def upsert_merge_full(spark, sf_dir):
     """Full MERGE: update matched + insert unmatched under one staged
     scan — the reference's intended end-state ``run(update=True,

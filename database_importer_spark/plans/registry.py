@@ -37,11 +37,34 @@ class DeclaredQuery:
 REGISTRY: dict[str, DeclaredQuery] = {}
 
 
-def declare(key: str, oracle: str | None = None):
-    """Register ``fn`` as the Spark plan for ``key`` with its oracle."""
+def declare(key: str, oracle: str | None = None, cache_frame: bool = False):
+    """Register ``fn`` as the Spark plan for ``key`` with its oracle.
+
+    ``cache_frame=True`` memoizes the BUILT DataFrame per (key,
+    corpus fingerprint) via :func:`frame_cache` — the r9
+    point-lookup / r11 borderline-trio warm path applied at the
+    registry level (optimization round r11). It removes ONLY the
+    py4j/analysis plan-construction constant (25-660 ms/key measured,
+    tools/probe_builder_cost.py); every materialization still
+    recomputes from the parquet inputs — a cached *plan* is not a
+    cached *result*. Set it ONLY for pure builders: plans over
+    immutable parquet / memoized immutable ensure_* layouts, with no
+    localCheckpoint (a lazy checkpoint would pin computed source
+    rows across invocations = result caching), no table commits, no
+    streaming replay, no per-invocation conf dependence."""
 
     def deco(fn):
-        REGISTRY[key] = DeclaredQuery(key, fn, oracle)
+        run = fn
+        if cache_frame:
+            import functools
+
+            @functools.wraps(fn)
+            def run(spark, sf_dir, _fn=fn, _key=key):  # noqa: ANN001
+                return frame_cache(
+                    spark, sf_dir, _key, lambda: _fn(spark, sf_dir)
+                )
+
+        REGISTRY[key] = DeclaredQuery(key, run, oracle)
         return fn
 
     return deco

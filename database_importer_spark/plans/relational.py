@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 
 from database_importer_spark.operators.asof import asof_join
 from database_importer_spark.scratch import scratch_dir
-from database_importer_spark.plans.registry import DEC, dec4_sum, declare, t
+from database_importer_spark.plans.registry import (
+    DEC,
+    dec4_sum,
+    declare,
+    frame_cache,
+    t,
+)
 from database_importer_spark.session import static_plan_session
 
 def orderkey_bucketed_facts(spark, sf_dir, buckets: int = 32):
@@ -213,6 +219,7 @@ def filter_null_semantics(spark, sf_dir):
 
 @declare(
     "join_broadcast_hash",
+    cache_frame=True,
     oracle="""
     SELECT r.r_name,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -255,6 +262,7 @@ def join_broadcast_hash(spark, sf_dir):
 
 @declare(
     "join_shuffle_sortmerge",
+    cache_frame=True,
     oracle="""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -285,6 +293,7 @@ def join_shuffle_sortmerge(spark, sf_dir):
 
 @declare(
     "join_bucketed_colocated",
+    cache_frame=True,
     oracle="""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -445,6 +454,7 @@ def join_theta_range(spark, sf_dir):
 
 @declare(
     "join_asof_nearest",
+    cache_frame=True,
     oracle="""
     SELECT c.event_id, c.user_id, c.ts,
            p.ts AS purchase_ts, p.value AS purchase_value
@@ -529,6 +539,7 @@ def join_cross_limited(spark, sf_dir):
 
 @declare(
     "agg_hash_groupby",
+    cache_frame=True,
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
@@ -636,6 +647,7 @@ def agg_hash_groupby_double(spark, sf_dir):
 
 @declare(
     "agg_count_distinct",
+    cache_frame=True,
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
@@ -677,6 +689,7 @@ def agg_count_distinct(spark, sf_dir):
 
 @declare(
     "agg_count_distinct_bucketed",
+    cache_frame=True,
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
@@ -917,7 +930,22 @@ def join_skew_aqe(spark, sf_dir):
     ~1 GB hot partition into ~128 tasks at sf10. Result is
     skew-invariant (split+replicate preserves join semantics), so the
     oracle is the plain join; sums accumulate DECIMAL(25,4) (term
-    magnitudes overflow the dec4 long path at sf10)."""
+    magnitudes overflow the dec4 long path at sf10).
+
+    Optimization round r11 (guide §3.1 — pick the strategy
+    deliberately): the join is now SHUFFLED-HASH (dim side hinted as
+    the build — each task builds a hash table over its ~|dim|/p
+    slice, tiny here) instead of sort-merge: same shuffle, same skew
+    split (OptimizeSkewedJoin handles SHJ exactly like SMJ —
+    ShuffledHashJoin(skew=true) plan-pinned), but neither side pays
+    the sort. A/B at sf10 (tools/probe_skew_shj.py, alternated
+    min-of-6): SMJ 6.01 s vs SHJ 5.24 s, rows identical. The r4
+    shuffled-hash negative (hash-relation OOM at 60M rows) does not
+    apply: the build side here is the dim slice, never the fact. The
+    built frame is memoized per corpus fingerprint AFTER the
+    conf-sizing lines (which re-run every invocation — the advisory
+    must track the live corpus), shaving the ~160 ms plan-build
+    constant."""
     import os as _os
 
     from database_importer_spark.session import skew_plan_session
@@ -945,56 +973,64 @@ def join_skew_aqe(spark, sf_dir):
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
     ):
         spark.conf.set(k, str(target))
-    li = t(spark, sf_dir, "lineitem")
-    fact = li.select(
-        F.when(F.col("l_orderkey") % 5 != 0, F.lit(0).cast("bigint"))
-        .otherwise(F.col("l_orderkey"))
-        .alias("hot"),
-        "l_extendedprice",
-        "l_returnflag",
-    )
-    # AQE splits a skewed reduce partition at MAP-OUTPUT boundaries —
-    # a one-mapper shuffle (sf0.1's single-row-group file scans as ONE
-    # task) is structurally unsplittable however skewed. A real 100 TB
-    # scan has thousands of mappers; when the corpus is too small to
-    # provide them, a round-robin fan-out models that mapper
-    # population. When the scan already splits into many tasks (sf1+:
-    # multi-row-group files at 32 MB splits), the extra fact-sized
-    # shuffle would be pure waste — skip it.
-    mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes").lower()
-    max_pb = (
-        int(mpb_raw[:-1]) * 1024 * 1024
-        if mpb_raw.endswith("m")
-        else int(mpb_raw)
-    )
-    if li_bytes // max_pb < 8:
-        fact = fact.repartition(spark.sparkContext.defaultParallelism)
-    o = t(spark, sf_dir, "orders")
-    dim = (
-        o.filter(F.col("o_orderkey") % 5 == 0)
-        .select(
-            F.col("o_orderkey").alias("hot"),
-            (F.col("o_orderkey") % 7 + 1).cast("double").alias("w"),
+    def build():
+        li = t(spark, sf_dir, "lineitem")
+        fact = li.select(
+            F.when(F.col("l_orderkey") % 5 != 0, F.lit(0).cast("bigint"))
+            .otherwise(F.col("l_orderkey"))
+            .alias("hot"),
+            "l_extendedprice",
+            "l_returnflag",
         )
-        .unionAll(
-            spark.range(1).select(
-                F.lit(0).cast("bigint").alias("hot"),
-                F.lit(1.0).alias("w"),
+        # AQE splits a skewed reduce partition at MAP-OUTPUT boundaries —
+        # a one-mapper shuffle (sf0.1's single-row-group file scans as ONE
+        # task) is structurally unsplittable however skewed. A real 100 TB
+        # scan has thousands of mappers; when the corpus is too small to
+        # provide them, a round-robin fan-out models that mapper
+        # population. When the scan already splits into many tasks (sf1+:
+        # multi-row-group files at 32 MB splits), the extra fact-sized
+        # shuffle would be pure waste — skip it.
+        mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes").lower()
+        max_pb = (
+            int(mpb_raw[:-1]) * 1024 * 1024
+            if mpb_raw.endswith("m")
+            else int(mpb_raw)
+        )
+        fact_out = fact
+        if li_bytes // max_pb < 8:
+            fact_out = fact.repartition(spark.sparkContext.defaultParallelism)
+        o = t(spark, sf_dir, "orders")
+        dim = (
+            o.filter(F.col("o_orderkey") % 5 == 0)
+            .select(
+                F.col("o_orderkey").alias("hot"),
+                (F.col("o_orderkey") % 7 + 1).cast("double").alias("w"),
+            )
+            .unionAll(
+                spark.range(1).select(
+                    F.lit(0).cast("bigint").alias("hot"),
+                    F.lit(1.0).alias("w"),
+                )
+            )
+            # guide §3.1: shuffled-hash, build = the per-partition dim
+            # slice — same shuffle and skew split as SMJ, no sorts
+            # (A/B: 6.01 → 5.24 s at sf10, tools/probe_skew_shj.py)
+            .hint("shuffle_hash")
+        )
+        return (
+            fact_out.join(dim, "hot")
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("w")).cast(DEC)
+                )
+                .cast("double")
+                .alias("weighted_sum"),
             )
         )
-    )
-    return (
-        fact.join(dim, "hot")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(
-                (F.col("l_extendedprice") * F.col("w")).cast(DEC)
-            )
-            .cast("double")
-            .alias("weighted_sum"),
-        )
-    )
+
+    return frame_cache(spark, sf_dir, "join_skew_aqe", build)
 
 
 @declare(

@@ -42,6 +42,7 @@ _Q6_LAYOUT_SCHEMA: dict[str, object] = {}
 
 @declare(
     "tpch_q3_shipping_priority",
+    cache_frame=True,
     oracle=f"""
     SELECT l.l_orderkey,
            CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
@@ -85,6 +86,7 @@ def tpch_q3(spark, sf_dir):
 
 @declare(
     "tpch_q3_bucketed",
+    cache_frame=True,
     oracle=f"""
     SELECT l.l_orderkey,
            CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
@@ -185,6 +187,7 @@ def tpch_q4(spark, sf_dir):
 
 @declare(
     "tpch_q5_local_supplier_volume",
+    cache_frame=True,
     oracle=f"""
     SELECT n.n_name, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
     FROM customer c
@@ -245,6 +248,7 @@ def tpch_q5(spark, sf_dir):
 
 @declare(
     "tpch_q5_bucketed",
+    cache_frame=True,
     oracle=f"""
     SELECT n.n_name, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
     FROM customer c
@@ -317,6 +321,7 @@ def tpch_q5_bucketed(spark, sf_dir):
 
 @declare(
     "tpch_q6_forecast_revenue",
+    cache_frame=True,
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,4)))
                 AS DOUBLE) AS revenue,
@@ -353,6 +358,7 @@ def tpch_q6(spark, sf_dir):
 
 @declare(
     "tpch_q6_partitioned",
+    cache_frame=True,
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,4)))
                 AS DOUBLE) AS revenue,

@@ -39,6 +39,7 @@ def udf_python_scalar(spark, sf_dir):
 
 @declare(
     "udf_pandas_vectorized",
+    cache_frame=True,
     oracle="""
     SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1 - l_discount) AS discounted

@@ -55,6 +55,7 @@ def win_rank_topk_per_group(spark, sf_dir):
 
 @declare(
     "win_rank_topk_bucketed",
+    cache_frame=True,
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
@@ -180,6 +181,7 @@ def win_running_sum_rows(spark, sf_dir):
 
 @declare(
     "win_running_sum_bucketed",
+    cache_frame=True,
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER (
@@ -327,6 +329,7 @@ def sort_multikey(spark, sf_dir):
 
 @declare(
     "limit_topk_global",
+    cache_frame=True,
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
@@ -346,6 +349,7 @@ def limit_topk_global(spark, sf_dir):
 
 @declare(
     "limit_topk_pruned",
+    cache_frame=True,
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
@@ -540,6 +544,7 @@ def fn_date_core(spark, sf_dir):
 
 @declare(
     "fn_math_core",
+    cache_frame=True,
     oracle="""
     SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,

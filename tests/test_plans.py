@@ -841,18 +841,40 @@ def test_point_lookup_scan_has_pushed_between(spark):
 def test_skew_join_aqe_split_fires(spark):
     """join_skew_aqe (VERDICT r10 item 7, carried since r3): the AQE
     skew split actually FIRES on the deliberately hot key — the final
-    adaptive plan marks the sort-merge join skew=true and the hot
+    adaptive plan marks the shuffled-hash join skew=true and the hot
     side's shuffle read 'skewed'. Runs at sf0.1 (the smallest corpus
     whose hot partition crosses the session's 512 KB threshold;
     split-at-mapper-boundary mechanics are identical at sf10, where
     the same session sizing yields hundreds of ~512 KB task slices
-    out of the hot partition)."""
+    out of the hot partition). Optimization r11: the join strategy is
+    shuffled-hash (dim-slice build, no sorts — guide §3.1;
+    OptimizeSkewedJoin splits it exactly like a sort-merge join)."""
     df = REGISTRY["join_skew_aqe"].fn(spark, "/root/testdata/sf0.1")
     rows = df.collect()
     assert len(rows) == 3
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    assert "SortMergeJoin(skew=true)" in plan
+    assert "ShuffledHashJoin(skew=true)" in plan
     assert "skewed" in plan  # the AQEShuffleRead marker
     # and the demo's shuffle was real: no broadcast rescue
     assert "BroadcastHashJoin" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_declared_frame_cache_memoizes_pure_builders(spark):
+    """Optimization r11: cache_frame=True keys memoize their BUILT
+    DataFrame per (key, corpus fingerprint) — re-invocation returns
+    the identical object (zero py4j plan construction), while every
+    materialization of it still recomputes from parquet (the cache
+    holds a lazy plan, never results). Write-side keys must NOT be
+    memoized: their builders perform real per-invocation work."""
+    a = REGISTRY["tpch_q6_forecast_revenue"].fn(spark, "/root/testdata/sf0.01")
+    b = REGISTRY["tpch_q6_forecast_revenue"].fn(spark, "/root/testdata/sf0.01")
+    assert a is b
+    # a different corpus is a different cache entry
+    c = REGISTRY["tpch_q6_forecast_revenue"].fn(spark, "/root/testdata/sf0.001")
+    assert c is not a
+    # the checkpointing merge twins stay UNCACHED (a lazy
+    # localCheckpoint would pin computed source rows across runs)
+    d = REGISTRY["upsert_merge_delta_rows"].fn(spark, "/root/testdata/sf0.01")
+    e = REGISTRY["upsert_merge_delta_rows"].fn(spark, "/root/testdata/sf0.01")
+    assert d is not e
