@@ -70,7 +70,7 @@ ANNOTATED = {
     "table_changes_compacted": "Change-file compaction (r11): the v0→v4 feed read resolves the sidecar changelog entry driver-side and plans ONE scan of the consolidated range-clustered file set (version filter pushed to the scan; per-commit small files never opened); the compaction step itself is skipped by op-tag contract.",
     "table_cursor_lag": "Consumer-group lag metrics (r11): pure manifest arithmetic on the driver — the plan is a local scan of the computed rows; zero input files, zero Exchange, no job touches data at any table size.",
     "catalog_multi_table_txn": "Multi-table catalog transaction (r11), converged read: catalog entry resolves driver-side; the consistency frame joins the summary table's manifest-listed scan to a rollup of the detail table's manifest-listed scan at the catalog-pinned versions — broadcastable 80-row summary side, partial+final agg on the detail.",
-    "join_skew_aqe": "AQE skew-split demo (r11): plan-time this is a plain SMJ on the deliberately hot key with broadcast disabled; AT RUNTIME AQE splits the hot partition at map-output boundaries into data-sized slices — SortMergeJoin(skew=true) appears in the FINAL adaptive plan (pinned by execution in tests/test_plans.py, not in this static dump).",
+    "join_skew_aqe": "AQE skew-split demo (r11; opt-r11 strategy change): plan-time this is a SHUFFLED-HASH join on the deliberately hot key (dim-slice build, no sorts — guide §3.1) with broadcast disabled; AT RUNTIME AQE splits the hot partition at map-output boundaries into data-sized slices — ShuffledHashJoin(skew=true) appears in the FINAL adaptive plan (pinned by execution in tests/test_plans.py, not in this static dump).",
 }
 
 
