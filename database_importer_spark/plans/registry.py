@@ -121,13 +121,23 @@ def frame_cache(spark: SparkSession, sf_dir: str, name: str, build):
     The cache dies with the session (session_cache WeakKey)."""
     cache = session_cache(spark, "declared_frames")
     d = os.path.abspath(sf_dir)
-    fp = tuple(
-        (n, st.st_size, st.st_mtime_ns)
-        for n in sorted(os.listdir(d))
-        if n.endswith(".parquet")
-        for st in [os.stat(os.path.join(d, n))]
-    )
-    k = (name, d, fp)
+    # ADVICE r11: directory-shaped *.parquet entries (scaled corpora
+    # write part files under lineitem.parquet/) must fingerprint their
+    # CONTENTS — a dir's own size/mtime does not change when a
+    # same-named part file is rewritten in place.
+    fp = []
+    for n in sorted(os.listdir(d)):
+        if not n.endswith(".parquet"):
+            continue
+        p = os.path.join(d, n)
+        if os.path.isdir(p):
+            for m in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, m))
+                fp.append((f"{n}/{m}", st.st_size, st.st_mtime_ns))
+        else:
+            st = os.stat(p)
+            fp.append((n, st.st_size, st.st_mtime_ns))
+    k = (name, d, tuple(fp))
     df = cache.get(k)
     if df is None:
         df = build()

@@ -948,7 +948,10 @@ def join_skew_aqe(spark, sf_dir):
     constant."""
     import os as _os
 
-    from database_importer_spark.session import skew_plan_session
+    from database_importer_spark.session import (
+        parse_byte_conf,
+        skew_plan_session,
+    )
 
     spark = skew_plan_session(spark)
     # size the split target to the DATA, exactly like a real job: the
@@ -990,11 +993,11 @@ def join_skew_aqe(spark, sf_dir):
         # population. When the scan already splits into many tasks (sf1+:
         # multi-row-group files at 32 MB splits), the extra fact-sized
         # shuffle would be pure waste — skip it.
-        mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes").lower()
-        max_pb = (
-            int(mpb_raw[:-1]) * 1024 * 1024
-            if mpb_raw.endswith("m")
-            else int(mpb_raw)
+        # parse_byte_conf: a VANILLA session (the driver's) returns
+        # this conf byte-suffixed ('134217728b'), the repo session
+        # '32m' — handle every Spark byte-string spelling (r11 gate).
+        max_pb = parse_byte_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
         )
         fact_out = fact
         if li_bytes // max_pb < 8:

@@ -20,8 +20,42 @@ where we pin the configs that matter at 100 TB:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+# Spark byte-string suffixes (JavaUtils.byteStringAsBytes): a conf read
+# back from a session may carry ANY of these — a vanilla session returns
+# maxPartitionBytes as '134217728b', a repo session as '32m', a user
+# override as '1g'. Parse them all (r11 verdict gate: an "m"-or-bare-int
+# parse crashed join_skew_aqe on the driver's vanilla session).
+_BYTE_SUFFIX = {
+    "": 1,
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+    "p": 1024**5,
+    "pb": 1024**5,
+}
+
+
+def parse_byte_conf(raw: str) -> int:
+    """Parse a Spark byte-string conf value to bytes.
+
+    Accepts every spelling Spark itself emits or accepts for size
+    confs — bare integers (bytes) and b/k/kb/m/mb/g/gb/t/tb/p/pb
+    suffixes, any case, optional whitespace. Raises ValueError with
+    the offending string on anything else (never guess a size)."""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", raw)
+    if not m or m.group(2).lower() not in _BYTE_SUFFIX:
+        raise ValueError(f"unparseable Spark byte-size conf value: {raw!r}")
+    return int(m.group(1)) * _BYTE_SUFFIX[m.group(2).lower()]
 
 
 def get_spark(

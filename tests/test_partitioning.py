@@ -312,7 +312,9 @@ qs = e.queries()
 for key in ("agg_events_rollup_partitioned", "join_bucketed_colocated",
             "tpch_q6_partitioned", "upsert_merge_partitioned",
             "agg_count_distinct_bucketed", "upsert_merge_snapshot",
-            "table_time_travel", "table_delete_where", "table_delete_mor"):
+            "table_time_travel", "table_delete_where", "table_delete_mor",
+            "join_skew_aqe", "stream_tumbling_window",
+            "profile_numeric_stats_pushdown"):
     n = qs[key](spark, "/root/testdata/sf0.001").count()
     print(f"{key}: {n} rows")
 print("SMOKE_OK")

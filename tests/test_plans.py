@@ -860,6 +860,54 @@ def test_skew_join_aqe_split_fires(spark):
     assert "BroadcastHashJoin" not in plan.split("== Initial Plan ==")[0]
 
 
+def test_parse_byte_conf_every_spark_spelling():
+    """r11 verdict gate: conf values read back from a session carry
+    ANY Spark byte-string spelling — a vanilla session returns
+    maxPartitionBytes as '134217728b', the repo session '32m'. The
+    shared parser must handle them all and refuse garbage."""
+    from database_importer_spark.session import parse_byte_conf
+
+    assert parse_byte_conf("134217728b") == 134217728
+    assert parse_byte_conf("32m") == 32 * 1024**2
+    assert parse_byte_conf("32MB") == 32 * 1024**2
+    assert parse_byte_conf("1g") == 1024**3
+    assert parse_byte_conf("1024") == 1024
+    assert parse_byte_conf("512k") == 512 * 1024
+    assert parse_byte_conf(" 2 tb ") == 2 * 1024**4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_byte_conf("fast")
+    with _pytest.raises(ValueError):
+        parse_byte_conf("32q")
+
+
+def test_skew_join_builds_under_vanilla_byte_suffixed_conf(spark):
+    """r11 verdict gate regression: join_skew_aqe must BUILD when
+    spark.sql.files.maxPartitionBytes reads back byte-suffixed
+    ('134217728b', the vanilla-session default the driver runs under —
+    the repo session's '32m' masked the broken parse across five green
+    sweep configurations)."""
+    from database_importer_spark.session import (
+        session_cache,
+        skew_plan_session,
+    )
+
+    child = skew_plan_session(spark)
+    frames = session_cache(child, "declared_frames")
+    for k in [k for k in frames if k[0] == "join_skew_aqe"]:
+        frames.pop(k)  # force the builder (not a memoized frame) to run
+    prev = child.conf.get("spark.sql.files.maxPartitionBytes")
+    child.conf.set("spark.sql.files.maxPartitionBytes", "134217728b")
+    try:
+        df = REGISTRY["join_skew_aqe"].fn(spark, "/root/testdata/sf0.001")
+        assert len(df.collect()) == 3
+    finally:
+        child.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        for k in [k for k in frames if k[0] == "join_skew_aqe"]:
+            frames.pop(k)  # do not leak a vanilla-conf-built plan
+
+
 def test_declared_frame_cache_memoizes_pure_builders(spark):
     """Optimization r11: cache_frame=True keys memoize their BUILT
     DataFrame per (key, corpus fingerprint) — re-invocation returns

@@ -20,7 +20,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from bench import materialize  # noqa: E402
 from database_importer_spark import get_spark  # noqa: E402
 from database_importer_spark.plans.registry import DEC, t  # noqa: E402
-from database_importer_spark.session import skew_plan_session  # noqa: E402
+from database_importer_spark.session import (  # noqa: E402
+    parse_byte_conf,
+    skew_plan_session,
+)
 
 
 def build(spark, sf_dir, strategy):
@@ -47,11 +50,8 @@ def build(spark, sf_dir, strategy):
         "l_extendedprice",
         "l_returnflag",
     )
-    mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes").lower()
-    max_pb = (
-        int(mpb_raw[:-1]) * 1024 * 1024
-        if mpb_raw.endswith("m")
-        else int(mpb_raw)
+    max_pb = parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes")
     )
     if li_bytes // max_pb < 8:
         fact = fact.repartition(spark.sparkContext.defaultParallelism)
