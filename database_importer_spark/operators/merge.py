@@ -82,6 +82,23 @@ def _file_anchored_memo(spark, namespace: str) -> dict:
     return session_cache(spark, namespace)
 
 
+# Per-OBJECT memo of the (canonical plan, file stats) base: computing
+# it costs two py4j round trips (analyzed-plan toString — a large
+# string — and inputFiles) plus the stats, ~50-100 ms on a merge
+# source. A DataFrame object's plan never changes, and every builder
+# hands Merger a FRESH object when the corpus changes (frame_cache /
+# footer-cache fingerprints gate object reuse), so object identity ⇒
+# same plan over same bytes. The one unsupported pattern: holding ONE
+# DataFrame across an in-place rewrite of its input files and
+# re-probing it — fresh construction (what every declared builder
+# does) re-stats.
+import weakref as _weakref
+
+_ANCHOR_BASE: "_weakref.WeakKeyDictionary[DataFrame, object]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
 def _file_anchored_key(frame: DataFrame, extra: tuple):
     """Memo key for a data-derived property of ``frame``: its
     #id-stripped analyzed plan + the (path, size, mtime) of every
@@ -93,18 +110,28 @@ def _file_anchored_key(frame: DataFrame, extra: tuple):
     import re
 
     try:
-        plan = frame._jdf.queryExecution().analyzed().toString()
-        canonical = re.sub(r"#\d+L?", "#", plan)
-        files = []
-        for f in frame.inputFiles():
-            p = f.removeprefix("file:")
-            st = os.stat(p)
-            files.append((p, st.st_size, st.st_mtime_ns))
-        if not files:
+        base = _ANCHOR_BASE.get(frame)
+    except TypeError:
+        base = None  # non-weakrefable wrapper: compute uncached
+    if base is None:
+        try:
+            plan = frame._jdf.queryExecution().analyzed().toString()
+            canonical = re.sub(r"#\d+L?", "#", plan)
+            files = []
+            for f in frame.inputFiles():
+                p = f.removeprefix("file:")
+                st = os.stat(p)
+                files.append((p, st.st_size, st.st_mtime_ns))
+            base = (canonical, tuple(sorted(files))) if files else False
+        except Exception:
             return None
-        return (canonical, tuple(sorted(files)), extra)
-    except Exception:
+        try:
+            _ANCHOR_BASE[frame] = base
+        except TypeError:
+            pass
+    if base is False:
         return None
+    return (base[0], base[1], extra)
 
 
 class Merger:

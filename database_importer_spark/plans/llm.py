@@ -190,6 +190,7 @@ def llm_chunk_overlap(spark, sf_dir):
 
 @declare(
     "llm_dedup_jaccard_pairs",
+    cache_frame=True,
     oracle="""
     WITH reps AS (
         SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
@@ -311,7 +312,7 @@ def _minhash_oracle(num_hashes=32, bands=8, seed=7, threshold=0.3) -> str:
     """
 
 
-@declare("llm_dedup_near_minhash", oracle=_minhash_oracle())
+@declare("llm_dedup_near_minhash", oracle=_minhash_oracle(), cache_frame=True)
 def llm_dedup_near_minhash(spark, sf_dir):
     """MinHash(32)+LSH(8 bands) near-dup pipeline, exact-Jaccard-
     verified at ≥0.3 — EXACT oracle: the portable md5+affine hash
@@ -407,7 +408,7 @@ def _minhash_incremental_oracle(
     """
 
 
-@declare("llm_dedup_near_incremental", oracle=_minhash_incremental_oracle())
+@declare("llm_dedup_near_incremental", oracle=_minhash_incremental_oracle(), cache_frame=True)
 def llm_dedup_near_incremental(spark, sf_dir):
     """Incremental NEAR-dedup — the steady-state shape of a 100 TB
     dedup service, completing the pair `llm_dedup_incremental` (exact
@@ -701,6 +702,7 @@ def _cos_sql(a: str, b: str) -> str:
 
 @declare(
     "llm_similarity_ivf",
+    cache_frame=True,
     oracle=f"""
     WITH cent AS (
         SELECT vec_id AS cid, embedding AS ev FROM embeddings WHERE vec_id < 16
@@ -1124,6 +1126,7 @@ def llm_tfidf_topk(spark, sf_dir):
 
 @declare(
     "llm_dedup_clusters",
+    cache_frame=True,
     oracle="""
     WITH e AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1784,6 +1787,7 @@ def llm_domain_rebalance(spark, sf_dir):
 
 @declare(
     "llm_tfidf_cosine_pairs",
+    cache_frame=True,
     oracle="""
     WITH N AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
     tok AS (
@@ -2014,7 +2018,7 @@ def _kmeans_ivf_oracle(k=16, iters=2, dim=64, nprobe=2, topk=3) -> str:
     )
 
 
-@declare("llm_similarity_ivf_kmeans", oracle=_kmeans_ivf_oracle())
+@declare("llm_similarity_ivf_kmeans", oracle=_kmeans_ivf_oracle(), cache_frame=True)
 def llm_similarity_ivf_kmeans(spark, sf_dir):
     """IVF with a TRAINED coarse quantizer: 2 Lloyd rounds over the
     corpus (operators/similarity.kmeans_codebook — broadcast-argmin

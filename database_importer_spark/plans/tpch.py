@@ -766,6 +766,7 @@ def tpch_q7(spark, sf_dir):
 
 @declare(
     "tpch_q8_market_share",
+    cache_frame=True,
     oracle=f"""
     WITH all_nations AS (
         SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,

@@ -860,6 +860,33 @@ def test_skew_join_aqe_split_fires(spark):
     assert "BroadcastHashJoin" not in plan.split("== Initial Plan ==")[0]
 
 
+def test_bench_line_stays_under_driver_tail():
+    """VERDICT r11 item 7: the driver archives only ~2000 chars of
+    bench stdout — a JSON line past that window is recorded as
+    parsed=null (the r6 BENCH TAIL BUG). Assert the worst-case line
+    for the CURRENT headline set stays safely inside it, so adding a
+    key without shrinking the format fails here first."""
+    import json as _json
+
+    from bench import HEADLINE
+
+    line = _json.dumps(
+        {
+            "metric": "headline_query_wall_clock_total",
+            "value": 99999.999,
+            "unit": "sec",
+            # worst plausible per-key width: tens of seconds, 3dp
+            "queries": {k: 99.999 for k in HEADLINE},
+            "sf": 0.1,
+            "duckdb_calib_sec": 0.0175,
+        }
+    )
+    assert len(line) < 1950, (
+        f"bench line would be {len(line)} chars — shrink per-key "
+        "precision or move detail to BENCH_RUNS before adding keys"
+    )
+
+
 def test_parse_byte_conf_every_spark_spelling():
     """r11 verdict gate: conf values read back from a session carry
     ANY Spark byte-string spelling — a vanilla session returns
@@ -906,6 +933,118 @@ def test_skew_join_builds_under_vanilla_byte_suffixed_conf(spark):
         child.conf.set("spark.sql.files.maxPartitionBytes", prev)
         for k in [k for k in frames if k[0] == "join_skew_aqe"]:
             frames.pop(k)  # do not leak a vanilla-conf-built plan
+
+
+def test_cached_builders_are_pure_by_source():
+    """Every declare(cache_frame=True) builder must be a PURE plan
+    constructor: no checkpoint (would pin computed rows across
+    invocations), no driver-side action whose result the returned
+    frame embeds, no commit/stream/write side effects, no
+    per-invocation conf writes. Enforced by source scan — a builder
+    delegating a side effect to a helper the scan cannot see still
+    gets reviewed at flag time, but this catches the direct cases
+    (r11 audit rule, pinned registry-wide in r12 when the flag set
+    grew beyond the headline)."""
+    import ast
+    import inspect
+    import textwrap
+
+    forbidden_attrs = {
+        "localCheckpoint",
+        "cache",
+        "persist",
+        "createDataFrame",
+        "collect",
+        "count",
+        "isEmpty",
+        "toPandas",
+        "write",
+        "writeStream",
+        "foreachBatch",
+        "set",  # spark.conf.set / catalog mutation
+    }
+    # llm_similarity_topk's ingestion collect is the one AUDITED
+    # exception: memoized per corpus fingerprint since r7, with its
+    # own zero-jobs-on-rebuild audit test — the returned frame still
+    # recomputes the ranking on every action.
+    whitelist = {"llm_similarity_topk": {"collect"}}
+    cached = [
+        k
+        for k, q in REGISTRY.items()
+        if getattr(q.fn, "__wrapped__", None) is not None
+    ]
+    assert len(cached) >= 26  # the r11 set never shrinks silently
+    bad = {}
+    for key in cached:
+        src = textwrap.dedent(
+            inspect.getsource(inspect.unwrap(REGISTRY[key].fn))
+        )
+        hits = set()
+        for node in ast.walk(ast.parse(src)):
+            if not isinstance(node, ast.Attribute):
+                continue
+            if node.attr == "count":
+                # the ACTION is the zero-arg method df.count();
+                # F.count(col) is the aggregate expression
+                parent_call = None
+                for c in ast.walk(ast.parse(src)):
+                    if isinstance(c, ast.Call) and c.func is node:
+                        parent_call = c
+                        break
+                if parent_call is None or parent_call.args or parent_call.keywords:
+                    continue
+            if node.attr == "set":
+                # only conf mutation counts (x.conf.set(...))
+                v = node.value
+                if not (isinstance(v, ast.Attribute) and v.attr == "conf"):
+                    continue
+            if node.attr in forbidden_attrs:
+                hits.add(node.attr)
+        hits -= whitelist.get(key, set())
+        if hits:
+            bad[key] = sorted(hits)
+    assert not bad, f"impure cached builders: {bad}"
+
+
+def _ckpt_lineage_ids(df):
+    """All RDD ids in the LINEAGE of every LogicalRDD (lazy-checkpoint)
+    leaf — the checkpoint child itself is always fresh (.map makes a
+    new RDD per call), so sharing shows up in the ANCESTORS."""
+    import re as _re
+
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    ids: set[int] = set()
+    it = leaves.iterator()
+    found = False
+    while it.hasNext():
+        leaf = it.next()
+        if leaf.getClass().getSimpleName() == "LogicalRDD":
+            found = True
+            dbg = leaf.rdd().toDebugString()
+            ids.update(int(m) for m in _re.findall(r"\[(\d+)\]", dbg))
+    assert found, "expected a lazy-checkpoint leaf"
+    return ids
+
+
+def test_merge_twin_source_cache_never_shares_checkpoint_rdds(spark):
+    """Optimization r12: the checkpointing merge twins memoize only
+    the PURE pre-checkpoint source plan; the lazy localCheckpoint must
+    be taken on a FRESH Dataset each invocation (new QueryExecution →
+    new shuffle/broadcast ids). If two invocations shared ANY ancestor
+    RDD under the checkpoint, the second run could reuse the first
+    run's computed shuffle map outputs instead of recomputing from
+    parquet: result caching, not plan caching. Pin: the full RDD
+    lineages of consecutive invocations' checkpoint leaves are
+    disjoint."""
+    for key in ("upsert_merge_delta_rows", "upsert_merge_bucketed"):
+        a = REGISTRY[key].fn(spark, "/root/testdata/sf0.01")
+        b = REGISTRY[key].fn(spark, "/root/testdata/sf0.01")
+        ids_a = _ckpt_lineage_ids(a)
+        ids_b = _ckpt_lineage_ids(b)
+        assert not ids_a & ids_b, (
+            f"{key}: invocations share checkpoint-lineage RDDs "
+            f"{sorted(ids_a & ids_b)}"
+        )
 
 
 def test_declared_frame_cache_memoizes_pure_builders(spark):

@@ -46,7 +46,94 @@ SIDE_EFFECT = {
 }
 
 
+# Substrings in a builder's source that mark per-invocation side
+# effects or state the frame cache must never capture (registry.py
+# cache_frame exclusion rules). Source-scan is a FIRST filter only —
+# every cache_frame flag still gets a manual review (a builder may
+# delegate its side effect to an operator call the scan cannot see).
+_IMPURE_SRC = (
+    "localCheckpoint",
+    "commit",
+    "stream",
+    ".write",
+    "write_",
+    "scratch_dir",
+    "jdbc",
+    "ensure_live",
+    "foreachBatch",
+    "conf.set",
+    "xlsx",
+    "excel",
+    "orc",
+    "sink",
+    "quarantine",
+    "overwrite",
+)
+
+
+def classify_all():
+    """(pure_uncached, cached, impure) key lists for the whole
+    registry, by source inspection of each builder."""
+    import inspect
+
+    pure, cached, impure = [], [], []
+    for key in sorted(REGISTRY):
+        fn = REGISTRY[key].fn
+        if getattr(fn, "__wrapped__", None) is not None:
+            cached.append(key)
+            continue
+        try:
+            src = inspect.getsource(inspect.unwrap(fn))
+        except (OSError, TypeError):
+            impure.append(key)
+            continue
+        if any(m in src for m in _IMPURE_SRC) or key in SIDE_EFFECT:
+            impure.append(key)
+        else:
+            pure.append(key)
+    return pure, cached, impure
+
+
+def main_all(sf_dir: str) -> None:
+    """Registry-wide sweep (VERDICT r11 item 5): builder-only timing
+    for every PURE un-cached key; prints the >100 ms cache_frame
+    candidates. Execution is NOT timed here (keys outside the headline
+    only ever run in oracle sweeps — the builder constant is the whole
+    per-sweep saving)."""
+    pure, cached, impure = classify_all()
+    print(
+        f"registry: {len(pure)} pure-uncached, {len(cached)} cached, "
+        f"{len(impure)} impure/side-effect (skipped)"
+    )
+    spark = get_spark("probe-builder-all")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for key in pure:
+        fn = REGISTRY[key].fn
+        try:
+            fn(spark, sf_dir)  # warm layouts / view memos
+            bts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir)
+                bts.append(time.perf_counter() - t0)
+            rows.append((min(bts), key))
+        except Exception as exc:  # noqa: BLE001
+            print(f"  SKIP {key}: {type(exc).__name__}: {exc}")
+    rows.sort(reverse=True)
+    print(f"\n{len(rows)} pure builders timed; >100 ms candidates:")
+    for b, k in rows:
+        if b >= 0.1:
+            print(f"  {b*1000:7.1f} ms  {k}")
+    print("\nfull table:")
+    for b, k in rows:
+        print(f"  {b*1000:7.1f} ms  {k}")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--all":
+        main_all(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1")
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     keys = sys.argv[2:] or [k for k in HEADLINE if k not in SIDE_EFFECT]
     spark = get_spark("probe-builder")
